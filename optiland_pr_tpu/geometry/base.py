@@ -1,0 +1,149 @@
+"""Geometry protocol and the shared ray-surface intersection machinery.
+
+A geometry is a *static* object (type + structural config like coefficient
+count); all numeric values live in a per-surface parameter dict so that
+``jax.grad``/``vmap`` flow through radii, conics, and freeform coefficients.
+
+Intersection redesign vs the reference (optiland/geometries/newton_raphson.py:119-168):
+- the Newton iteration runs device-side under ``lax.while_loop`` with all inputs
+  ``stop_gradient``-ed (no Python-loop host sync, no autodiff tape through the
+  iterations),
+- gradients are recovered with one final *differentiable* Newton step at the
+  converged root — the implicit-function-theorem correction, which is exact at
+  f(t*)=0 and costs O(1) memory.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..core.safe_math import safe_div
+
+__all__ = ["Geometry", "conic_distance", "newton_distance", "normalize_normal"]
+
+
+def normalize_normal(dfdx, dfdy):
+    """Build the unit surface normal from sag partials, with the reference's
+    df/dz=-1 convention (optiland/geometries/standard.py:142-167)."""
+    mag = jnp.sqrt(dfdx**2 + dfdy**2 + 1.0)
+    return dfdx / mag, dfdy / mag, -1.0 / mag
+
+
+def conic_distance(radius, conic, x, y, z, L, M, N):
+    """Closed-form ray/conic intersection, root closest to the vertex plane
+    (reference optiland/geometries/standard.py:89-140). Handles infinite radius
+    (plane) and the degenerate a==0 case branchlessly."""
+    is_plane = jnp.isinf(radius)
+    R = jnp.where(is_plane, 1.0, radius)  # guard against inf*0 NaNs
+
+    a = conic * N**2 + L**2 + M**2 + N**2
+    b = (2 * conic * N * z + 2 * L * x + 2 * M * y
+         - 2 * N * R + 2 * N * z)
+    c = conic * z**2 - 2 * R * z + x**2 + y**2 + z**2
+
+    d = b**2 - 4 * a * c
+    ok = d >= 0
+    sqrt_d = jnp.where(ok, jnp.sqrt(jnp.where(ok, d, 1.0)), jnp.nan)
+
+    a_safe = safe_div(jnp.ones_like(a), a)  # 1/a with clamp
+    t1 = (-b + sqrt_d) * 0.5 * a_safe
+    t2 = (-b - sqrt_d) * 0.5 * a_safe
+
+    z1 = z + t1 * N
+    z2 = z + t2 * N
+    t = jnp.where(jnp.abs(z1) <= jnp.abs(z2), t1, t2)
+
+    # degenerate quadratic (a == 0): linear solution -c/b
+    t = jnp.where(a == 0, safe_div(-c, b), t)
+
+    # plane: z + t*N = 0
+    t_plane = safe_div(-z, N)
+    return jnp.where(is_plane, t_plane, t)
+
+
+def newton_distance(geom: "Geometry", p, x, y, z, L, M, N,
+                    tol: float = 1e-10, max_iter: int = 100):
+    """Newton-Raphson ray-surface intersection with a conic warm start and
+    implicit-diff gradients.
+
+    The root search runs on stop-gradient values; one final live Newton step
+    recovers exact IFT gradients w.r.t. both surface params and ray state.
+    """
+    args = (p, x, y, z, L, M, N)
+    p0, x0, y0, z0, L0, M0, N0 = jax.tree_util.tree_map(lax.stop_gradient, args)
+
+    t_init = conic_distance(p0["radius"], p0["conic"], x0, y0, z0, L0, M0, N0)
+    # NaN warm starts (conic miss) would never converge; restart those at 0.
+    t_init = jnp.where(jnp.isnan(t_init), jnp.zeros_like(t_init), t_init)
+
+    def f_and_df(t, pp, xx, yy, zz, LL, MM, NN):
+        xi = xx + t * LL
+        yi = yy + t * MM
+        zi = zz + t * NN
+        f = geom.sag(pp, xi, yi) - zi
+        dfdx, dfdy = geom.sag_grad(pp, xi, yi)
+        df = dfdx * LL + dfdy * MM - NN
+        return f, df
+
+    def cond(state):
+        i, t, err = state
+        return jnp.logical_and(i < max_iter, err > tol)
+
+    def body(state):
+        i, t, _ = state
+        f, df = f_and_df(t, p0, x0, y0, z0, L0, M0, N0)
+        t_new = t - safe_div(f, df)
+        f_new, _ = f_and_df(t_new, p0, x0, y0, z0, L0, M0, N0)
+        # Ignore non-finite residuals (rays that miss entirely) in the
+        # convergence check so they don't stall the loop.
+        err = jnp.max(jnp.where(jnp.isfinite(f_new), jnp.abs(f_new), 0.0))
+        return i + 1, t_new, err
+
+    _, t_star, _ = lax.while_loop(cond, body, (jnp.array(0), t_init,
+                                               jnp.array(jnp.inf,
+                                                         dtype=t_init.dtype)))
+
+    # One differentiable Newton step at the (non-differentiable) root: the
+    # primal is unchanged to O(f^2) and the tangent/cotangent is the exact
+    # implicit-function-theorem derivative dt/dtheta = -f_theta / f_t.
+    f, df = f_and_df(lax.stop_gradient(t_star), p, x, y, z, L, M, N)
+    return lax.stop_gradient(t_star) - safe_div(f, df)
+
+
+class Geometry:
+    """Base geometry. Subclasses define ``kind``, ``sag`` and ``sag_grad``.
+
+    Numeric state lives in the per-surface param dict (``default_params``
+    defines the schema); structural state (coefficient counts, grid shapes)
+    lives on the instance and is static under jit.
+    """
+
+    kind: str = "base"
+    is_symmetric: bool = False
+
+    # --- schema -----------------------------------------------------------
+    def default_params(self, **kw) -> dict:
+        raise NotImplementedError
+
+    # --- math -------------------------------------------------------------
+    def sag(self, p, x, y):
+        raise NotImplementedError
+
+    def sag_grad(self, p, x, y):
+        """(d sag/dx, d sag/dy). Default: forward-mode autodiff of ``sag``."""
+        _, dfdx = jax.jvp(lambda xx: self.sag(p, xx, y), (x,),
+                          (jnp.ones_like(x),))
+        _, dfdy = jax.jvp(lambda yy: self.sag(p, x, yy), (y,),
+                          (jnp.ones_like(y),))
+        return dfdx, dfdy
+
+    def normal(self, p, x, y):
+        dfdx, dfdy = self.sag_grad(p, x, y)
+        return normalize_normal(dfdx, dfdy)
+
+    def distance(self, p, x, y, z, L, M, N):
+        return newton_distance(self, p, x, y, z, L, M, N)
+
+    def __repr__(self):
+        return f"{type(self).__name__}()"

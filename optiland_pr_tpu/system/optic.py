@@ -1,0 +1,285 @@
+"""The user-facing system builder (reference API surface: optiland/optic/optic.py:67-713).
+
+``Optic`` is a mutable *builder* used host-side; it compiles into an immutable
+static ``OpticModel`` plus a parameter pytree (``build()``). All tracing and
+analysis runs on pure functions of (model, params) — the builder itself never
+appears inside jit. Convenience methods (.trace, .paraxial, ...) build lazily
+and cache jitted closures keyed by static trace configuration.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import default_float
+from ..core.distributions import generate_distribution
+from ..geometry import (Biconic, ChebyshevSag, EvenAsphere, OddAsphere, Plane,
+                        PolynomialXY, StandardGeometry, Toroidal)
+from ..materials import resolve_material
+from ..materials.base import Mirror
+from ..trace import real as real_trace
+from ..trace.paraxial import Paraxial
+from .apertures import configure_aperture
+from .model import OpticModel, SurfaceDef, make_surface_params
+
+__all__ = ["Optic"]
+
+_GEOMETRY_BUILDERS = {
+    "standard": lambda kw: StandardGeometry(),
+    "plane": lambda kw: Plane(),
+    "even_asphere": lambda kw: EvenAsphere(len(kw.get("coefficients") or [])),
+    "odd_asphere": lambda kw: OddAsphere(len(kw.get("coefficients") or [])),
+    "polynomial": lambda kw: PolynomialXY(
+        *(_shape2d(kw.get("coefficients")))),
+    "chebyshev": lambda kw: ChebyshevSag(*(_shape2d(kw.get("coefficients")))),
+    "biconic": lambda kw: Biconic(),
+    "toroidal": lambda kw: Toroidal(len(kw.get("coeffs_poly_y") or [])),
+    "paraxial": lambda kw: Plane(),
+}
+
+
+def _shape2d(coeffs):
+    import numpy as np
+    if coeffs is None:
+        return (1, 1)
+    a = np.atleast_2d(np.asarray(coeffs))
+    return a.shape
+
+
+class Optic:
+    """Sequential optical system builder.
+
+    Usage mirrors the reference::
+
+        lens = Optic()
+        lens.add_surface(index=0, radius=jnp.inf, thickness=jnp.inf)
+        lens.add_surface(index=1, radius=22.01, thickness=3.26, material="SK16")
+        ...
+        lens.set_aperture(aperture_type="EPD", value=10)
+        lens.set_field_type(field_type="angle")
+        lens.add_field(y=14)
+        lens.add_wavelength(value=0.55, is_primary=True)
+        rays = lens.trace(Hx=0, Hy=1, wavelength=0.55, num_rays=64)
+    """
+
+    def __init__(self, name: str | None = None):
+        self.name = name
+        self._surfaces: list[dict] = []
+        self.ap_type: str = "EPD"
+        self.ap_value: float = 1.0
+        self.field_type: str = "angle"
+        self.fields: list[tuple] = []       # (x, y, vx, vy)
+        self.wavelengths: list[float] = []
+        self.primary_wavelength_idx: int = 0
+        self.polarization = "ignore"
+        self.obj_space_telecentric = False
+        self._cache = None
+        self._jit_cache: dict = {}
+
+    # ------------------------------------------------------------------
+    # construction API
+    # ------------------------------------------------------------------
+    def add_surface(self, index: int | None = None, surface_type: str = "standard",
+                    radius=jnp.inf, thickness=0.0, conic=0.0, material=None,
+                    is_stop: bool = False, comment: str = "", dx=0.0, dy=0.0,
+                    dz=0.0, rx=0.0, ry=0.0, rz=0.0, aperture=None, bsdf=None,
+                    coating=None, **geom_kw):
+        """Add (or insert) a surface. Mirrors reference Optic.add_surface
+        (optic/optic.py:220-320); geometry-specific keywords (coefficients,
+        norm_x/norm_y, radius_x, conic_x, radius_rot, coeffs_poly_y, f, ...)
+        pass through to the geometry parameter schema."""
+        entry = dict(surface_type=surface_type, radius=radius,
+                     thickness=thickness, conic=conic, material=material,
+                     is_stop=is_stop, comment=comment, dx=dx, dy=dy, dz=dz,
+                     rx=rx, ry=ry, rz=rz, aperture=aperture, bsdf=bsdf,
+                     coating=coating, geom_kw=geom_kw)
+        if index is None or index == len(self._surfaces):
+            self._surfaces.append(entry)
+        else:
+            self._surfaces.insert(index, entry)
+        self._dirty()
+        return self
+
+    def set_aperture(self, aperture_type: str, value: float):
+        if aperture_type not in ("EPD", "imageFNO", "objectNA",
+                                 "float_by_stop_size"):
+            raise ValueError(f"unknown aperture type {aperture_type}")
+        self.ap_type = aperture_type
+        self.ap_value = float(value)
+        self._dirty()
+
+    def set_field_type(self, field_type: str):
+        if field_type not in ("angle", "object_height",
+                              "paraxial_image_height"):
+            raise ValueError(f"unknown field type {field_type}")
+        self.field_type = field_type
+        self._dirty()
+
+    def add_field(self, y: float, x: float = 0.0, vx: float = 0.0,
+                  vy: float = 0.0):
+        self.fields.append((float(x), float(y), float(vx), float(vy)))
+        self._dirty()
+
+    def add_wavelength(self, value: float, is_primary: bool = False,
+                       unit: str = "um"):
+        scale = {"um": 1.0, "nm": 1e-3, "mm": 1e3}[unit]
+        self.wavelengths.append(float(value) * scale)
+        if is_primary or len(self.wavelengths) == 1:
+            self.primary_wavelength_idx = len(self.wavelengths) - 1
+        self._dirty()
+
+    def set_polarization(self, state):
+        self.polarization = state
+        self._dirty()
+
+    # ------------------------------------------------------------------
+    # compile
+    # ------------------------------------------------------------------
+    def _dirty(self):
+        self._cache = None
+        self._jit_cache = {}
+
+    def build(self):
+        """Compile to (OpticModel, params)."""
+        if self._cache is not None:
+            return self._cache
+        if len(self._surfaces) < 2:
+            raise ValueError("need at least object and image surfaces")
+
+        specs = []
+        sparams = []
+        last_material_src = 0
+        for k, e in enumerate(self._surfaces):
+            is_object = k == 0
+            is_image = k == len(self._surfaces) - 1
+
+            gkw = dict(e["geom_kw"])
+            gkw.setdefault("radius", e["radius"])
+            gkw.setdefault("conic", e["conic"])
+            geometry = _GEOMETRY_BUILDERS[e["surface_type"]](gkw)
+
+            mat_spec = e["material"]
+            is_reflective = isinstance(mat_spec, str) and \
+                mat_spec.lower() == "mirror"
+            if is_reflective:
+                material_model = Mirror()
+                material_src = last_material_src
+                mat_params = {}
+            else:
+                material_model, mat_params = resolve_material(mat_spec)
+                material_src = k
+                last_material_src = k
+
+            ap_def, ap_params = configure_aperture(e["aperture"])
+            has_td = any(float(e[kk]) != 0.0
+                         for kk in ("dx", "dy", "dz", "rx", "ry", "rz")) \
+                or bool(e["geom_kw"].get("force_transform", False))
+
+            interaction = "thin_lens" if e["surface_type"] == "paraxial" \
+                else "refract_reflect"
+
+            spec = SurfaceDef(
+                geometry=geometry,
+                material=material_model,
+                material_src=material_src,
+                is_reflective=is_reflective,
+                is_stop=bool(e["is_stop"]),
+                aperture=ap_def,
+                interaction=interaction,
+                has_tilt_decenter=has_td,
+                is_object=is_object,
+                is_image=is_image,
+                coating=e["coating"],
+                bsdf=e["bsdf"],
+                comment=e["comment"],
+            )
+            # mirror keeps the pre-material: point the spec's material at src
+            if is_reflective:
+                spec = SurfaceDef(**{**spec.__dict__,
+                                     "material": specs[material_src].material})
+            specs.append(spec)
+
+            cs_kw = {kk2: e[kk1] for kk1, kk2 in
+                     (("dx", "dx"), ("dy", "dy"), ("dz", "dz"),
+                      ("rx", "rx"), ("ry", "ry"), ("rz", "rz"))}
+            gkw_full = dict(gkw)
+            if interaction == "thin_lens":
+                gkw_full["f"] = e["geom_kw"].get("f", jnp.inf)
+            sp = make_surface_params(spec, e["thickness"], gkw_full,
+                                     mat_params, ap_params, cs_kw)
+            sparams.append(sp)
+
+        dt = default_float()
+        model = OpticModel(
+            surfaces=tuple(specs),
+            ap_type=self.ap_type,
+            field_type=self.field_type,
+            num_fields=len(self.fields),
+            num_wavelengths=len(self.wavelengths),
+            primary_wavelength_idx=self.primary_wavelength_idx,
+            polarization=self.polarization,
+            obj_space_telecentric=self.obj_space_telecentric,
+            _object_infinite=bool(jnp.isinf(
+                jnp.asarray(self._surfaces[0]["thickness"]))),
+        )
+        fields = jnp.asarray([(f[0], f[1]) for f in self.fields] or [(0., 0.)],
+                             dt)
+        vig = jnp.asarray([(f[2], f[3]) for f in self.fields] or [(0., 0.)], dt)
+        params = {
+            "surfaces": sparams,
+            "aperture_value": jnp.asarray(self.ap_value, dt),
+            "fields": fields,
+            "vig": vig,
+            "wavelengths": jnp.asarray(self.wavelengths or [0.55], dt),
+        }
+        self._cache = (model, params)
+        return self._cache
+
+    @property
+    def model(self) -> OpticModel:
+        return self.build()[0]
+
+    @property
+    def params(self):
+        return self.build()[1]
+
+    @property
+    def primary_wavelength(self) -> float:
+        return self.wavelengths[self.primary_wavelength_idx]
+
+    # ------------------------------------------------------------------
+    # convenience execution
+    # ------------------------------------------------------------------
+    @property
+    def paraxial(self) -> Paraxial:
+        model, params = self.build()
+        return Paraxial(model, params)
+
+    def trace(self, Hx=0.0, Hy=0.0, wavelength=None, num_rays: int = 100,
+              distribution: str = "hexapolar", record: bool = False):
+        """Trace a pupil distribution (reference optic/optic.py:584-609)."""
+        model, params = self.build()
+        wavelength = wavelength or self.primary_wavelength
+        Px, Py = generate_distribution(distribution, num_rays)
+        key = ("trace", distribution, int(Px.shape[0]),
+               jnp.shape(jnp.atleast_1d(Hx)), record)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = jax.jit(
+                lambda p, hx, hy, wl, px, py: real_trace.trace(
+                    model, p, hx, hy, wl, px, py, record=record))
+        return self._jit_cache[key](params, Hx, Hy, wavelength, Px, Py)
+
+    def trace_generic(self, Hx, Hy, Px, Py, wavelength=None,
+                      record: bool = False):
+        model, params = self.build()
+        wavelength = wavelength or self.primary_wavelength
+        return real_trace.trace_generic(model, params, Hx, Hy, Px, Py,
+                                        wavelength, record=record)
+
+    def n(self, wavelength=None):
+        """Refractive index after each surface (reference optic/optic.py:563)."""
+        from ..trace.paraxial import system_arrays
+        model, params = self.build()
+        wavelength = wavelength or self.primary_wavelength
+        _, n, _ = system_arrays(model, params, wavelength)
+        return n

@@ -1,0 +1,201 @@
+"""Real-ray trace engine — the hot path.
+
+TPU-first rebuild of the reference call stack (SURVEY.md §3.1:
+optic.trace -> RealRayTracer.trace -> SurfaceGroup.trace -> Surface.trace,
+optiland/surfaces/standard_surface.py:186-287). Differences by design:
+
+- the per-surface Python loop *unrolls inside jit* over the static surface
+  list: every step is branch-free array code over the ray axis, XLA fuses the
+  whole stack into one kernel (no per-surface host dispatch, no `_record`
+  copies unless history is requested),
+- surfaces with no tilt/decenter skip the 3x3 rotation entirely (static flag),
+- ray validity is carried by intensity masking + NaN-safe math, never by
+  dropping rays (shapes stay static).
+
+The returned history (optional) matches the reference's recorded per-surface
+state: stacked [S, n_rays] arrays including the launch state at index 0.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core import rays as R
+from ..core.transforms import localize, globalize, rotation_matrix
+from ..system.model import OpticModel, positions_from_params
+from .raygen import generate_rays, vig_factor
+
+__all__ = ["trace_surface", "trace_system", "trace", "trace_generic"]
+
+
+def _pre_material(model: OpticModel, params, k: int):
+    spec = model.surfaces[k - 1]
+    return model.surfaces[spec.material_src].material, \
+        params["surfaces"][spec.material_src]["material"]
+
+
+def _post_material(model: OpticModel, params, k: int):
+    spec = model.surfaces[k]
+    return model.surfaces[spec.material_src].material, \
+        params["surfaces"][spec.material_src]["material"]
+
+
+def trace_surface(model: OpticModel, params, k: int, rays: R.Rays,
+                  positions) -> R.Rays:
+    """Trace rays through surface k (reference standard_surface.py:186-233)."""
+    spec = model.surfaces[k]
+    sp = params["surfaces"][k]
+
+    # ---- localize --------------------------------------------------------
+    tz = positions[k]
+    if spec.has_tilt_decenter:
+        cs = sp["cs"]
+        Rm = rotation_matrix(cs["rx"], cs["ry"], cs["rz"])
+        x, y, z, L, M, N = localize(Rm, cs["dx"], cs["dy"], tz + cs["dz"],
+                                    rays.x, rays.y, rays.z,
+                                    rays.L, rays.M, rays.N)
+        rays = rays.replace(x=x, y=y, z=z, L=L, M=M, N=N)
+    else:
+        rays = rays.replace(z=rays.z - tz)
+
+    # ---- intersect -------------------------------------------------------
+    t = spec.geometry.distance(sp["geom"], rays.x, rays.y, rays.z,
+                               rays.L, rays.M, rays.N)
+
+    # ---- propagate through pre-material ---------------------------------
+    mat1, mp1 = _pre_material(model, params, k)
+    n1 = mat1.n(mp1, rays.wavelength)
+    alpha = None
+    if mat1.absorbing:
+        kext = mat1.k(mp1, rays.wavelength)
+        alpha = 4.0 * jnp.pi * kext / rays.wavelength
+    rays = R.propagate(rays, t, alpha=alpha)
+
+    # ---- OPD -------------------------------------------------------------
+    rays = rays.replace(opd=rays.opd + jnp.abs(t * n1))
+
+    # ---- physical aperture ----------------------------------------------
+    if spec.aperture is not None:
+        inside = spec.aperture.contains(sp["aperture"], rays.x, rays.y)
+        rays = R.clip(rays, ~inside)
+
+    # ---- interact --------------------------------------------------------
+    if spec.interaction == "refract_reflect":
+        nx, ny, nz = spec.geometry.normal(sp["geom"], rays.x, rays.y)
+        if spec.is_reflective:
+            rays = R.reflect(rays, nx, ny, nz)
+        else:
+            mat2, mp2 = _post_material(model, params, k)
+            n2 = mat2.n(mp2, rays.wavelength)
+            rays = R.refract(rays, nx, ny, nz, n1, n2)
+        if spec.coating is not None:
+            rays = spec.coating.apply(sp.get("coating", {}), rays, nx, ny, nz,
+                                      model, params, k)
+        if spec.bsdf is not None:
+            rays = spec.bsdf.scatter(sp.get("bsdf", {}), rays, nx, ny, nz)
+    elif spec.interaction == "thin_lens":
+        # ideal lens: bend toward paraxial focus f (reference
+        # interactions/thin_lens_interaction_model.py)
+        f = sp["f"]
+        mat2, mp2 = _post_material(model, params, k)
+        n2 = mat2.n(mp2, rays.wavelength)
+        ux = rays.L / rays.N
+        uy = rays.M / rays.N
+        ux2 = (n1 * ux - rays.x / f) / n2
+        uy2 = (n1 * uy - rays.y / f) / n2
+        norm = jnp.sqrt(ux2**2 + uy2**2 + 1.0)
+        rays = rays.replace(L=ux2 / norm, M=uy2 / norm, N=1.0 / norm)
+    elif spec.interaction == "grating":
+        nx, ny, nz = spec.geometry.normal(sp["geom"], rays.x, rays.y)
+        mat2, mp2 = _post_material(model, params, k)
+        n2 = mat2.n(mp2, rays.wavelength)
+        g = sp["grating"]
+        rays = R.grating_diffract(rays, nx, ny, nz, g["fx"], g["fy"], g["fz"],
+                                  g["order"], g["period"], n1, n2,
+                                  spec.is_reflective)
+    elif spec.interaction == "phase":
+        rays = spec.phase_profile.interact(sp["phase"], rays, n1,
+                                           _post_material(model, params, k))
+    else:
+        raise ValueError(f"unknown interaction {spec.interaction}")
+
+    # ---- globalize -------------------------------------------------------
+    if spec.has_tilt_decenter:
+        cs = sp["cs"]
+        Rm = rotation_matrix(cs["rx"], cs["ry"], cs["rz"])
+        x, y, z, L, M, N = globalize(Rm, cs["dx"], cs["dy"], tz + cs["dz"],
+                                     rays.x, rays.y, rays.z,
+                                     rays.L, rays.M, rays.N)
+        rays = rays.replace(x=x, y=y, z=z, L=L, M=M, N=N)
+    else:
+        rays = rays.replace(z=rays.z + tz)
+
+    return rays
+
+
+def trace_system(model: OpticModel, params, rays: R.Rays, record: bool = False,
+                 skip: int = 0):
+    """Sequentially trace rays through all surfaces
+    (reference surfaces/surface_group.py:232-244).
+
+    Returns (rays, history) where history stacks per-surface recorded state
+    [num_surfaces, n_rays] per field (None when record=False).
+    """
+    positions = positions_from_params(params)
+    history = [rays] if record else None
+    for k in range(max(1, skip), model.num_surfaces):
+        rays = trace_surface(model, params, k, rays, positions)
+        if record:
+            history.append(rays)
+    if record:
+        import jax
+        history = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *history)
+    return rays, history
+
+
+def _final_image_propagation(model, params, rays):
+    """Propagate past the image surface by its thickness (reference
+    raytrace/real_ray_tracer.py:85-92); a no-op for thickness 0."""
+    t_img = params["surfaces"][-1]["thickness"]
+    return R.propagate(rays, t_img)
+
+
+def trace(model: OpticModel, params, Hx, Hy, wavelength, Px, Py,
+          record: bool = False, apodization=None):
+    """Full real-ray pipeline: expand fields x pupil, aim, trace, final
+    propagation (reference raytrace/real_ray_tracer.py:37-97).
+
+    Hx/Hy are scalars or [F] arrays; Px/Py are [P] pupil samples. Rays are
+    ordered field-major: ray i*P+j is field i, pupil point j.
+    """
+    Hx = jnp.atleast_1d(jnp.asarray(Hx))
+    Hy = jnp.atleast_1d(jnp.asarray(Hy))
+    P = Px.shape[0]
+    F = Hx.shape[0]
+    Hx_full = jnp.repeat(Hx, P)
+    Hy_full = jnp.repeat(Hy, P)
+    Px_full = jnp.tile(Px, F)
+    Py_full = jnp.tile(Py, F)
+
+    rays = generate_rays(model, params, Hx_full, Hy_full, Px_full, Py_full,
+                         wavelength, apodization=apodization,
+                         polarized=(model.polarization != "ignore"))
+    rays, history = trace_system(model, params, rays, record=record)
+    rays = _final_image_propagation(model, params, rays)
+    return (rays, history) if record else rays
+
+
+def trace_generic(model: OpticModel, params, Hx, Hy, Px, Py, wavelength,
+                  record: bool = False):
+    """Trace explicitly-specified (field, pupil) coordinate arrays
+    (reference raytrace/real_ray_tracer.py:99-133), with vignetting scaling."""
+    Hx, Hy, Px, Py = jnp.broadcast_arrays(
+        jnp.atleast_1d(jnp.asarray(Hx)), jnp.atleast_1d(jnp.asarray(Hy)),
+        jnp.atleast_1d(jnp.asarray(Px)), jnp.atleast_1d(jnp.asarray(Py)))
+    vx, vy = vig_factor(model, params, Hx, Hy)
+    Px = Px * (1 - vx)
+    Py = Py * (1 - vy)
+    rays = generate_rays(model, params, Hx, Hy, Px, Py, wavelength,
+                         polarized=(model.polarization != "ignore"))
+    rays, history = trace_system(model, params, rays, record=record)
+    rays = _final_image_propagation(model, params, rays)
+    return (rays, history) if record else rays
