@@ -1,0 +1,17 @@
+from .spot import SpotData, SpotDiagram, spot_diagram, encircled_energy
+from .wavefront import (Wavefront, WavefrontData, OPD, ZernikeOPD,
+                        wavefront_data, fit_and_remove_tilt)
+from .psf import FFTPSF, HuygensPSF, calculate_grid_size
+from .mtf import FFTMTF, GeometricMTF
+from .misc import (RayFan, Distortion, GridDistortion, FieldCurvature, YYbar,
+                   PupilAberration, RmsSpotSizeVsField,
+                   RmsWavefrontErrorVsField, ThroughFocusSpotDiagram)
+from .irradiance import IncoherentIrradiance, RadiantIntensity, irradiance_histogram
+
+__all__ = ["SpotData", "SpotDiagram", "spot_diagram", "encircled_energy",
+           "Wavefront", "WavefrontData", "OPD", "ZernikeOPD", "wavefront_data",
+           "fit_and_remove_tilt", "FFTPSF", "HuygensPSF", "calculate_grid_size",
+           "FFTMTF", "GeometricMTF", "RayFan", "Distortion", "GridDistortion",
+           "FieldCurvature", "YYbar", "PupilAberration", "RmsSpotSizeVsField",
+           "RmsWavefrontErrorVsField", "ThroughFocusSpotDiagram",
+           "IncoherentIrradiance", "RadiantIntensity", "irradiance_histogram"]

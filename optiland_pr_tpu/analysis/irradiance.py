@@ -1,0 +1,121 @@
+"""Incoherent irradiance and radiant intensity on detector grids.
+
+Reference: optiland/analysis/irradiance.py:35-470 (IncoherentIrradiance,
+W/mm^2 pixel accumulation — used by the Fresnel solar-concentrator workloads)
+and intensity.py:25 (RadiantIntensity, W/sr).
+
+TPU design: the power accumulation is a 2-D weighted histogram implemented as
+a one-hot scatter-add (jnp.add.at equivalent) — under sharding, per-shard
+histograms are psum-reduced (see parallel/).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.distributions import generate_distribution
+from ..system.model import OpticModel, field_coords
+from ..trace import real as real_trace
+
+__all__ = ["irradiance_histogram", "IncoherentIrradiance", "RadiantIntensity"]
+
+
+def irradiance_histogram(x, y, power, nx: int, ny: int, extent):
+    """Weighted 2-D histogram of ray power -> W/mm^2 per pixel.
+
+    extent = (x_min, x_max, y_min, y_max). Returns [ny, nx] array.
+    """
+    x_min, x_max, y_min, y_max = extent
+    dx = (x_max - x_min) / nx
+    dy = (y_max - y_min) / ny
+    ix = jnp.floor((x - x_min) / dx).astype(jnp.int32)
+    iy = jnp.floor((y - y_min) / dy).astype(jnp.int32)
+    inside = (ix >= 0) & (ix < nx) & (iy >= 0) & (iy < ny)
+    ix = jnp.clip(ix, 0, nx - 1)
+    iy = jnp.clip(iy, 0, ny - 1)
+    flat_idx = iy * nx + ix
+    w = jnp.where(inside, power, 0.0)
+    hist = jnp.zeros((ny * nx,), power.dtype).at[flat_idx].add(w)
+    return hist.reshape(ny, nx) / (dx * dy)
+
+
+class IncoherentIrradiance:
+    """Detector-plane irradiance map (reference analysis/irradiance.py:35-470)."""
+
+    def __init__(self, optic, fields="all", wavelengths="primary",
+                 num_rays: int = 128, distribution: str = "random",
+                 res=(128, 128), detector_surface: int = -1,
+                 px_extent=None, total_power: float = 1.0):
+        model, params = optic.build()
+        if fields == "all":
+            fields = field_coords(params)
+        if wavelengths == "primary":
+            wavelengths = [optic.primary_wavelength]
+        self.res = res
+        self.data = []
+        Px, Py = generate_distribution(distribution, num_rays)
+        for f in fields:
+            for wl in wavelengths:
+                if detector_surface == -1:
+                    rays = real_trace.trace(model, params, f[0], f[1], wl,
+                                            Px, Py)
+                    x, y, inten = rays.x, rays.y, rays.intensity
+                else:
+                    _, hist = real_trace.trace(model, params, f[0], f[1], wl,
+                                               Px, Py, record=True)
+                    x = hist.x[detector_surface]
+                    y = hist.y[detector_surface]
+                    inten = hist.intensity[detector_surface]
+                # per-ray power: total_power split over launched rays
+                n_launched = x.shape[-1]
+                power = inten * (total_power / n_launched)
+                if px_extent is None:
+                    m = 1.05 * jnp.max(jnp.sqrt(x**2 + y**2))
+                    extent = (-m, m, -m, m)
+                else:
+                    extent = px_extent
+                img = irradiance_histogram(x, y, power, res[0], res[1], extent)
+                self.data.append({"field": f, "wavelength": wl, "map": img,
+                                  "extent": extent})
+
+    def peak(self):
+        return [jnp.max(d["map"]) for d in self.data]
+
+    def view(self, index: int = 0):
+        import matplotlib.pyplot as plt
+        d = self.data[index]
+        fig, ax = plt.subplots()
+        ex = [float(v) for v in d["extent"]]
+        ax.imshow(np.asarray(d["map"]), extent=ex, origin="lower",
+                  cmap="inferno")
+        ax.set_xlabel("x (mm)")
+        ax.set_ylabel("y (mm)")
+        return fig, ax
+
+
+class RadiantIntensity:
+    """Angular power distribution W/sr (reference analysis/intensity.py:25)."""
+
+    def __init__(self, optic, fields="all", wavelengths="primary",
+                 num_rays: int = 128, distribution: str = "random",
+                 res=(64, 64), angular_extent_deg: float = 90.0,
+                 total_power: float = 1.0):
+        model, params = optic.build()
+        if fields == "all":
+            fields = field_coords(params)
+        if wavelengths == "primary":
+            wavelengths = [optic.primary_wavelength]
+        Px, Py = generate_distribution(distribution, num_rays)
+        self.data = []
+        for f in fields:
+            for wl in wavelengths:
+                rays = real_trace.trace(model, params, f[0], f[1], wl, Px, Py)
+                # direction angles
+                ax_ang = jnp.rad2deg(jnp.arctan2(rays.L, rays.N))
+                ay_ang = jnp.rad2deg(jnp.arctan2(rays.M, rays.N))
+                n_launched = rays.x.shape[-1]
+                power = rays.intensity * (total_power / n_launched)
+                e = angular_extent_deg
+                img = irradiance_histogram(ax_ang, ay_ang, power, res[0],
+                                           res[1], (-e, e, -e, e))
+                self.data.append({"field": f, "wavelength": wl, "map": img})

@@ -1,0 +1,334 @@
+"""Classic system analyses: ray fans, distortion, grid distortion, field
+curvature, Y-Ybar, pupil aberration, RMS-vs-field scans, through-focus.
+
+Reference: optiland/analysis/ray_fan.py:20-346, distortion.py, grid_distortion.py,
+field_curvature.py, y_ybar.py, pupil_aberration.py, rms_vs_field.py,
+through_focus*.py.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.distributions import generate_distribution
+from ..system.model import OpticModel, positions_from_params, field_coords
+from ..trace import real as real_trace
+from ..trace.paraxial import Paraxial, trace_generic as paraxial_trace_generic
+from .spot import spot_diagram
+from .wavefront import wavefront_data
+
+__all__ = ["RayFan", "Distortion", "GridDistortion", "FieldCurvature",
+           "YYbar", "PupilAberration", "RmsSpotSizeVsField",
+           "RmsWavefrontErrorVsField", "ThroughFocusSpotDiagram"]
+
+
+class RayFan:
+    """Tangential/sagittal transverse ray-aberration fans
+    (reference analysis/ray_fan.py:20-346)."""
+
+    def __init__(self, optic, fields="all", wavelengths="all",
+                 num_points: int = 256):
+        model, params = optic.build()
+        if fields == "all":
+            fields = field_coords(params)
+        if wavelengths == "all":
+            wavelengths = [float(w) for w in params["wavelengths"]]
+        self.fields = fields
+        self.wavelengths = wavelengths
+        num_points = num_points + 1 if num_points % 2 == 0 else num_points
+        self.num_points = num_points
+
+        Py = jnp.linspace(-1, 1, num_points)
+        Px = jnp.zeros_like(Py)
+        self.data = {"Py": Py, "Px": Py}
+        for f in fields:
+            for wl in wavelengths:
+                # tangential: scan Py at Px=0
+                rt = real_trace.trace_generic(model, params, f[0], f[1],
+                                              Px, Py, wl)
+                # sagittal: scan Px at Py=0
+                rs = real_trace.trace_generic(model, params, f[0], f[1],
+                                              Py, Px, wl)
+                i_t = rt.y - rt.y[num_points // 2]
+                i_s = rs.x - rs.x[num_points // 2]
+                self.data[(f, wl)] = {"y_fan": i_t, "x_fan": i_s,
+                                      "y": rt.y, "x": rs.x}
+
+    def view(self):
+        import matplotlib.pyplot as plt
+        F = len(self.fields)
+        fig, axs = plt.subplots(F, 2, figsize=(8, 3 * F), squeeze=False)
+        for i, f in enumerate(self.fields):
+            for wl in self.wavelengths:
+                d = self.data[(f, wl)]
+                axs[i, 0].plot(np.asarray(self.data["Py"]),
+                               np.asarray(d["y_fan"]), label=f"{wl}")
+                axs[i, 1].plot(np.asarray(self.data["Px"]),
+                               np.asarray(d["x_fan"]), label=f"{wl}")
+            axs[i, 0].set_title(f"Tangential, field {f}")
+            axs[i, 1].set_title(f"Sagittal, field {f}")
+        return fig, axs
+
+
+class Distortion:
+    """Percent distortion vs field (reference analysis/distortion.py).
+
+    distortion = 100 * (y_real - y_paraxial) / y_paraxial, evaluated along the
+    y-field axis.
+    """
+
+    def __init__(self, optic, wavelengths="all", num_points: int = 128,
+                 distortion_type: str = "f_tan"):
+        model, params = optic.build()
+        if wavelengths == "all":
+            wavelengths = [float(w) for w in params["wavelengths"]]
+        self.wavelengths = wavelengths
+        self.distortion_type = distortion_type
+        par = Paraxial(model, params)
+        max_field = float(jnp.max(jnp.sqrt(jnp.sum(params["fields"]**2,
+                                                   axis=1))))
+        Hy = jnp.linspace(1e-9, 1.0, num_points)
+        self.fields = Hy * max_field
+        self.data = []
+        f2 = par.f2()
+        for wl in wavelengths:
+            rays = real_trace.trace_generic(model, params,
+                                            jnp.zeros_like(Hy), Hy,
+                                            jnp.zeros_like(Hy),
+                                            jnp.zeros_like(Hy), wl)
+            y_real = rays.y
+            ang = jnp.deg2rad(Hy * max_field)
+            if distortion_type == "f_tan":
+                y_ref = f2 * jnp.tan(ang)
+            elif distortion_type == "f_theta":
+                y_ref = f2 * ang
+            else:
+                raise ValueError("distortion_type must be f_tan or f_theta")
+            self.data.append(100.0 * (y_real - y_ref) / y_ref)
+
+    def view(self):
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots()
+        for wl, d in zip(self.wavelengths, self.data):
+            ax.plot(np.asarray(d), np.asarray(self.fields), label=f"{wl} um")
+        ax.set_xlabel("Distortion (%)")
+        ax.set_ylabel("Field")
+        ax.legend()
+        return fig, ax
+
+
+class GridDistortion:
+    """Distortion of a rectangular field grid (reference
+    analysis/grid_distortion.py)."""
+
+    def __init__(self, optic, wavelength=None, num_points: int = 10):
+        model, params = optic.build()
+        wavelength = wavelength or optic.primary_wavelength
+        par = Paraxial(model, params)
+        # paraxial magnification-based ideal grid
+        extent = jnp.linspace(-1, 1, num_points) / jnp.sqrt(2.0)
+        Hx, Hy = jnp.meshgrid(extent, extent)
+        rays = real_trace.trace_generic(model, params, Hx.ravel(), Hy.ravel(),
+                                        jnp.zeros(num_points**2),
+                                        jnp.zeros(num_points**2), wavelength)
+        self.x_real = rays.x.reshape(num_points, num_points)
+        self.y_real = rays.y.reshape(num_points, num_points)
+        # ideal: scale corner-linear
+        max_y = jnp.max(jnp.abs(self.y_real))
+        self.x_ideal = Hx / jnp.max(jnp.abs(Hx)) * jnp.max(jnp.abs(self.x_real))
+        self.y_ideal = Hy / jnp.max(jnp.abs(Hy)) * max_y
+        self.max_distortion = 100.0 * jnp.max(
+            jnp.sqrt((self.x_real - self.x_ideal) ** 2
+                     + (self.y_real - self.y_ideal) ** 2)
+            / jnp.sqrt(self.x_ideal**2 + self.y_ideal**2 + 1e-12))
+
+    def view(self):
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots()
+        ax.plot(np.asarray(self.x_ideal), np.asarray(self.y_ideal), "k-",
+                lw=0.5)
+        ax.plot(np.asarray(self.x_ideal).T, np.asarray(self.y_ideal).T, "k-",
+                lw=0.5)
+        ax.plot(np.asarray(self.x_real), np.asarray(self.y_real), "r-", lw=0.8)
+        ax.plot(np.asarray(self.x_real).T, np.asarray(self.y_real).T, "r-",
+                lw=0.8)
+        ax.set_aspect("equal")
+        return fig, ax
+
+
+class FieldCurvature:
+    """Tangential and sagittal field curvature via close-skew parabasal rays
+    (reference analysis/field_curvature.py)."""
+
+    def __init__(self, optic, wavelengths="all", num_points: int = 128,
+                 delta: float = 1e-5):
+        model, params = optic.build()
+        if wavelengths == "all":
+            wavelengths = [float(w) for w in params["wavelengths"]]
+        self.wavelengths = wavelengths
+        Hy = jnp.linspace(0.0, 1.0, num_points)
+        self.fields = Hy
+        self.data = []
+        zero = jnp.zeros_like(Hy)
+        for wl in wavelengths:
+            # central + differential rays in tangential plane
+            r0 = real_trace.trace_generic(model, params, zero, Hy, zero, zero,
+                                          wl)
+            rt = real_trace.trace_generic(model, params, zero, Hy, zero,
+                                          zero + delta, wl)
+            rs = real_trace.trace_generic(model, params, zero, Hy,
+                                          zero + delta, zero, wl)
+            # tangential focus: where differential ray crosses chief ray in y-z
+            dy = rt.y - r0.y
+            dM = rt.M / rt.N - r0.M / r0.N
+            t_t = -dy / jnp.where(jnp.abs(dM) < 1e-14, 1e-14, dM)
+            # sagittal focus in x-z
+            dx = rs.x - r0.x
+            dL = rs.L / rs.N - r0.L / r0.N
+            t_s = -dx / jnp.where(jnp.abs(dL) < 1e-14, 1e-14, dL)
+            self.data.append((t_t, t_s))
+
+    def view(self):
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots()
+        for wl, (tt, ts) in zip(self.wavelengths, self.data):
+            ax.plot(np.asarray(tt), np.asarray(self.fields),
+                    label=f"T {wl} um")
+            ax.plot(np.asarray(ts), np.asarray(self.fields), "--",
+                    label=f"S {wl} um")
+        ax.set_xlabel("Focus shift (mm)")
+        ax.set_ylabel("Normalized field")
+        ax.legend(fontsize=7)
+        return fig, ax
+
+
+class YYbar:
+    """Marginal vs chief ray height diagram (reference analysis/y_ybar.py)."""
+
+    def __init__(self, optic, wavelength=None):
+        model, params = optic.build()
+        wavelength = wavelength or optic.primary_wavelength
+        par = Paraxial(model, params)
+        self.ya, _ = par.marginal_ray()
+        self.yb, _ = par.chief_ray()
+
+    def view(self):
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots()
+        ax.plot(np.asarray(self.yb).ravel(), np.asarray(self.ya).ravel(),
+                "o-")
+        ax.set_xlabel("Chief ray height")
+        ax.set_ylabel("Marginal ray height")
+        return fig, ax
+
+
+class PupilAberration:
+    """Real vs paraxial entrance-pupil mismatch (reference
+    analysis/pupil_aberration.py)."""
+
+    def __init__(self, optic, fields="all", wavelengths="all",
+                 num_points: int = 64):
+        model, params = optic.build()
+        if fields == "all":
+            fields = field_coords(params)
+        if wavelengths == "all":
+            wavelengths = [float(w) for w in params["wavelengths"]]
+        self.fields = fields
+        self.wavelengths = wavelengths
+        num_points = num_points + 1 if num_points % 2 == 0 else num_points
+        par = Paraxial(model, params)
+        stop_idx = model.stop_index
+        self.data = {}
+        Py = jnp.linspace(-1, 1, num_points)
+        zero = jnp.zeros_like(Py)
+        for f in fields:
+            for wl in wavelengths:
+                _, hist = real_trace.trace_generic(model, params, f[0], f[1],
+                                                   zero, Py, wl, record=True)
+                y_stop = hist.y[stop_idx]
+                # stop semi-aperture from marginal ray at stop
+                ya, _ = par.marginal_ray()
+                semi = jnp.abs(ya[stop_idx][0])
+                y_ideal = Py * semi
+                self.data[(f, wl)] = {
+                    "Py": Py,
+                    "error_y": 100.0 * (y_stop - y_ideal)
+                    / jnp.where(semi == 0, 1.0, semi)}
+
+
+class RmsSpotSizeVsField:
+    """RMS spot size scan across field (reference analysis/rms_vs_field.py)."""
+
+    def __init__(self, optic, num_fields: int = 32, num_rays: int = 6,
+                 distribution: str = "hexapolar"):
+        model, params = optic.build()
+        Hy = np.linspace(0, 1, num_fields)
+        fields = [(0.0, float(h)) for h in Hy]
+        wl = [float(w) for w in params["wavelengths"]]
+        data = spot_diagram(model, params, fields=fields, wavelengths=wl,
+                            num_rays=num_rays, distribution=distribution)
+        self.fields = Hy
+        self.rms = data.rms_spot_radius()
+
+    def view(self):
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots()
+        ax.plot(self.fields, np.asarray(self.rms))
+        ax.set_xlabel("Normalized Y field")
+        ax.set_ylabel("RMS spot size")
+        return fig, ax
+
+
+class RmsWavefrontErrorVsField:
+    """RMS wavefront error scan across field (reference analysis/rms_vs_field.py)."""
+
+    def __init__(self, optic, num_fields: int = 16, num_rays: int = 12):
+        model, params = optic.build()
+        Px, Py = generate_distribution("hexapolar", num_rays)
+        Hy = np.linspace(0, 1, num_fields)
+        self.fields = Hy
+        rms = []
+        for h in Hy:
+            for wl in [float(w) for w in params["wavelengths"]]:
+                d = wavefront_data(model, params, (0.0, float(h)), wl, Px, Py)
+                w = d.intensity
+                rms.append(jnp.sqrt(jnp.sum(d.opd**2 * w) / jnp.sum(w)))
+        self.rms = jnp.stack(rms).reshape(num_fields, -1)
+
+    def view(self):
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots()
+        ax.plot(self.fields, np.asarray(self.rms))
+        ax.set_xlabel("Normalized Y field")
+        ax.set_ylabel("RMS wavefront error (waves)")
+        return fig, ax
+
+
+class ThroughFocusSpotDiagram:
+    """Spot diagrams across a defocus sweep (reference
+    analysis/through_focus.py + through_focus_spot_diagram.py).
+
+    The image-surface thickness param shifts by delta_focus per step — the
+    functional analogue of the reference mutating the image position.
+    """
+
+    def __init__(self, optic, delta_focus: float = 0.1, num_steps: int = 5,
+                 num_rings: int = 6, fields="all", wavelengths="all"):
+        import copy
+        model, params = optic.build()
+        steps = np.linspace(-delta_focus * (num_steps // 2),
+                            delta_focus * (num_steps // 2), num_steps)
+        self.positions = steps
+        self.results = []
+        for dz in steps:
+            p2 = params.copy()
+            surfaces = [dict(sp) for sp in params["surfaces"]]
+            # shift the image surface: add dz to the thickness before image
+            surfaces[-2] = dict(surfaces[-2])
+            surfaces[-2]["thickness"] = surfaces[-2]["thickness"] + dz
+            p2["surfaces"] = surfaces
+            f = None if fields == "all" else fields
+            w = None if wavelengths == "all" else wavelengths
+            self.results.append(spot_diagram(model, p2, fields=f,
+                                             wavelengths=w,
+                                             num_rays=num_rings))

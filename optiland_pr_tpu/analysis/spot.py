@@ -1,0 +1,149 @@
+"""Spot diagram and encircled energy (reference optiland/analysis/spot_diagram.py:46-649,
+encircled_energy.py:23).
+
+Functional core: one jitted trace per (field, wavelength) batch producing
+stacked [F, W, N] image-plane intersections; statistics are vectorized
+reductions over the ray axis.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from ..core.distributions import generate_distribution
+from ..system.model import OpticModel, field_coords
+from ..trace import real as real_trace
+from ..trace.paraxial import Paraxial, system_arrays
+
+__all__ = ["SpotData", "spot_diagram", "SpotDiagram", "encircled_energy"]
+
+
+@dataclasses.dataclass
+class SpotData:
+    """Stacked image-plane spot data: arrays of shape [F, W, N]."""
+    x: jnp.ndarray
+    y: jnp.ndarray
+    intensity: jnp.ndarray
+    fields: tuple
+    wavelengths: tuple
+    ref_wl_idx: int = 0   # index of the primary wavelength in ``wavelengths``
+
+    def centroid(self, ref_wl_idx: int | None = None):
+        """(cx, cy)[F] of the reference-wavelength spot (reference
+        spot_diagram.py:317-328)."""
+        i = self.ref_wl_idx if ref_wl_idx is None else ref_wl_idx
+        return (jnp.mean(self.x[:, i, :], axis=-1),
+                jnp.mean(self.y[:, i, :], axis=-1))
+
+    def _centered(self, ref_wl_idx: int | None = None):
+        cx, cy = self.centroid(ref_wl_idx)
+        return (self.x - cx[:, None, None], self.y - cy[:, None, None])
+
+    def rms_spot_radius(self, ref_wl_idx: int | None = None):
+        """RMS spot radius [F, W] (reference spot_diagram.py:344-358)."""
+        xc, yc = self._centered(ref_wl_idx)
+        return jnp.sqrt(jnp.mean(xc**2 + yc**2, axis=-1))
+
+    def geometric_spot_radius(self, ref_wl_idx: int | None = None):
+        """Max spot radius [F, W] (reference spot_diagram.py:329-342)."""
+        xc, yc = self._centered(ref_wl_idx)
+        return jnp.max(jnp.sqrt(xc**2 + yc**2), axis=-1)
+
+
+def spot_diagram(model: OpticModel, params, fields=None, wavelengths=None,
+                 num_rays: int = 100, distribution: str = "hexapolar"
+                 ) -> SpotData:
+    """Trace all fields x wavelengths and collect image-plane spots."""
+    if fields is None:
+        fields = field_coords(params)
+    if wavelengths is None:
+        wavelengths = [float(w) for w in params["wavelengths"]]
+    Px, Py = generate_distribution(distribution, num_rays)
+
+    Hx = jnp.asarray([f[0] for f in fields])
+    Hy = jnp.asarray([f[1] for f in fields])
+    xs, ys, Is = [], [], []
+    for wl in wavelengths:
+        rays = real_trace.trace(model, params, Hx, Hy, wl, Px, Py)
+        n = Px.shape[0]
+        xs.append(rays.x.reshape(len(fields), n))
+        ys.append(rays.y.reshape(len(fields), n))
+        Is.append(rays.intensity.reshape(len(fields), n))
+    # primary wavelength anchors the centroid (reference
+    # spot_diagram.py:100-113)
+    prim = float(params["wavelengths"][model.primary_wavelength_idx])
+    ref_idx = wavelengths.index(prim) if prim in wavelengths else 0
+    return SpotData(x=jnp.stack(xs, axis=1), y=jnp.stack(ys, axis=1),
+                    intensity=jnp.stack(Is, axis=1),
+                    fields=tuple(fields), wavelengths=tuple(wavelengths),
+                    ref_wl_idx=ref_idx)
+
+
+def airy_radius(model: OpticModel, params, wavelength) -> jnp.ndarray:
+    """1.22 lambda FNO (working f-number from marginal-ray cosines is used by
+    the reference for the overlay; the paraxial FNO is the classic estimate)."""
+    par = Paraxial(model, params)
+    fno = par.FNO()
+    return 1.22 * wavelength * 1e-3 * fno
+
+
+def encircled_energy(spot: SpotData, radii, ref_wl_idx: int | None = None):
+    """Fraction of (intensity-weighted) rays within ``radii`` of the centroid
+    for each field/wavelength (reference analysis/encircled_energy.py:23).
+
+    Returns [F, W, len(radii)].
+    """
+    xc, yc = spot._centered(ref_wl_idx)
+    r = jnp.sqrt(xc**2 + yc**2)              # [F, W, N]
+    w = spot.intensity
+    total = jnp.sum(w, axis=-1)              # [F, W]
+    radii = jnp.asarray(radii)
+    inside = (r[..., None] <= radii) * w[..., None]
+    return jnp.sum(inside, axis=-2) / total[..., None]
+
+
+class SpotDiagram:
+    """Object-style facade mirroring the reference analysis API
+    (BaseAnalysis: compute on construction, ``view()`` to plot)."""
+
+    def __init__(self, optic, fields="all", wavelengths="all",
+                 num_rings: int = 6, distribution: str = "hexapolar"):
+        self.optic = optic
+        model, params = optic.build()
+        f = None if fields == "all" else fields
+        w = None if wavelengths == "all" else wavelengths
+        self.data = spot_diagram(model, params, fields=f, wavelengths=w,
+                                 num_rays=num_rings, distribution=distribution)
+
+    def centroid(self):
+        cx, cy = self.data.centroid()
+        return list(zip(cx, cy))
+
+    def rms_spot_radius(self):
+        return self.data.rms_spot_radius()
+
+    def geometric_spot_radius(self):
+        return self.data.geometric_spot_radius()
+
+    def airy_disc_x_y(self, wavelength=None):
+        wavelength = wavelength or self.optic.primary_wavelength
+        r = airy_radius(*self.optic.build(), wavelength)
+        t = jnp.linspace(0, 2 * jnp.pi, 256)
+        return r * jnp.cos(t), r * jnp.sin(t)
+
+    def view(self, fig_to_plot_on=None):
+        import matplotlib.pyplot as plt
+        import numpy as np
+        d = self.data
+        F = len(d.fields)
+        fig, axs = plt.subplots(1, F, figsize=(4 * F, 4), squeeze=False)
+        for i in range(F):
+            ax = axs[0, i]
+            for j, wl in enumerate(d.wavelengths):
+                ax.scatter(np.asarray(d.x[i, j]), np.asarray(d.y[i, j]),
+                           s=2, label=f"{wl:.4f} um")
+            ax.set_title(f"Field {d.fields[i]}")
+            ax.set_aspect("equal")
+            ax.legend(fontsize=6)
+        return fig, axs

@@ -1,0 +1,227 @@
+"""Wavefront analysis: OPD relative to an exit-pupil reference sphere.
+
+Rebuild of optiland/wavefront/ (wavefront.py:26-167, strategy.py:31-511).
+Strategies: chief-ray sphere (default), centroid-anchored sphere, best-fit
+sphere. All math is pure jnp on traced ray state — jit/grad/vmap-safe — so RMS
+wavefront error is directly usable as a merit-function operand.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from ..core.distributions import generate_distribution
+from ..core.safe_math import safe_div
+from ..core.zernike import ZernikeFit
+from ..system.model import OpticModel, positions_from_params, field_coords
+from ..trace import real as real_trace
+from ..trace.paraxial import Paraxial, system_arrays
+
+__all__ = ["WavefrontData", "wavefront_data", "Wavefront", "OPD", "ZernikeOPD",
+           "fit_and_remove_tilt"]
+
+
+@dataclasses.dataclass
+class WavefrontData:
+    """Per-(field, wavelength) wavefront results (reference
+    wavefront/wavefront_data.py)."""
+    pupil_x: jnp.ndarray
+    pupil_y: jnp.ndarray
+    pupil_z: jnp.ndarray
+    opd: jnp.ndarray            # in waves
+    intensity: jnp.ndarray
+    radius: jnp.ndarray         # reference-sphere radius
+
+
+def _opd_image_to_xp(rays, xc, yc, zc, R, n_image):
+    """Optical path from the image-plane intersection back to the reference
+    sphere (reference wavefront/strategy.py:68-117)."""
+    xr, yr, zr = rays.x, rays.y, rays.z
+    L, M, N = -rays.L, -rays.M, -rays.N
+    a = L**2 + M**2 + N**2
+    b = 2 * (L * (xr - xc) + M * (yr - yc) + N * (zr - zc))
+    c = (xr**2 + yr**2 + zr**2
+         - 2 * (xr * xc + yr * yc + zr * zc)
+         + xc**2 + yc**2 + zc**2 - R**2)
+    d = b**2 - 4 * a * c
+    d = jnp.where(d < 0, 0.0, d)
+    sq = jnp.sqrt(d)
+    t = (-b - sq) / (2 * a)
+    t = jnp.where(t < 0, (-b + sq) / (2 * a), t)
+    return n_image * t
+
+
+def _correct_tilt(model, params, field, opd, xs, ys, epd):
+    """Remove the artificial launch-plane tilt for angle fields
+    (reference wavefront/strategy.py:118-168)."""
+    if model.field_type != "angle":
+        return opd
+    hx, hy = field
+    fields = params["fields"]
+    max_field = jnp.max(jnp.sqrt(jnp.sum(fields**2, axis=1)))
+    fx = jnp.deg2rad(hx * max_field)
+    fy = jnp.deg2rad(hy * max_field)
+    tx, ty = jnp.tan(fx), jnp.tan(fy)
+    uz = 1.0 / jnp.sqrt(1.0 + tx**2 + ty**2)
+    ux, uy = tx * uz, ty * uz
+    X_m = xs * epd / 2
+    Y_m = ys * epd / 2
+    return opd + ux * X_m + uy * Y_m
+
+
+def wavefront_data(model: OpticModel, params, field, wavelength, Px, Py,
+                   strategy: str = "chief_ray") -> WavefrontData:
+    """Compute wavefront data for one field/wavelength
+    (reference strategy.py:176-230 chief-ray path)."""
+    par = Paraxial(model, params)
+    pos = positions_from_params(params)
+    _, n_arr, _ = system_arrays(model, params, wavelength)
+    n_image = n_arr[-1]
+    hx, hy = field
+
+    # full pupil grid trace
+    rays = real_trace.trace_generic(model, params, hx, hy, Px, Py, wavelength)
+
+    if strategy == "chief_ray":
+        pupil_z = par.XPL() + pos[-1]
+        chief = real_trace.trace_generic(model, params, hx, hy, 0.0, 0.0,
+                                         wavelength)
+        xc, yc, zc = chief.x, chief.y, chief.z
+        R = jnp.sqrt(xc**2 + yc**2 + (zc - pupil_z) ** 2)
+        opd_img_ref = _opd_image_to_xp(chief, xc, yc, zc, R, n_image)
+        opd_ref = chief.opd - opd_img_ref
+        epd = par.EPD()
+        opd_ref = _correct_tilt(model, params, field, opd_ref,
+                                jnp.zeros(1), jnp.zeros(1), epd)
+    elif strategy in ("centroid_sphere", "best_fit_sphere"):
+        w = rays.intensity
+        wsum = jnp.sum(w)
+        xc = jnp.sum(rays.x * w) / wsum
+        yc = jnp.sum(rays.y * w) / wsum
+        zc = jnp.sum(rays.z * w) / wsum
+        # per-ray OPL back-projected: choose R as the weighted mean distance
+        # along the reversed rays to the centroid (robust anchored sphere).
+        dx = rays.x - xc
+        dy = rays.y - yc
+        dz = rays.z - zc
+        R = jnp.sum(jnp.sqrt(dx**2 + dy**2 + dz**2) * w) / wsum
+        # use exit-pupil distance as radius scale for best-fit variant
+        if strategy == "best_fit_sphere":
+            pupil_z = par.XPL() + pos[-1]
+            R = jnp.sqrt(xc**2 + yc**2 + (zc - pupil_z) ** 2)
+        opd_ref = jnp.zeros(1)
+        epd = par.EPD()
+    else:
+        raise ValueError(f"unknown wavefront strategy {strategy}")
+
+    opd_img = _opd_image_to_xp(rays, xc, yc, zc, R, n_image)
+    opd = rays.opd - opd_img
+    opd = _correct_tilt(model, params, field, opd, Px, Py, epd)
+    opd_wv = (opd_ref - opd) / (wavelength * 1e-3)
+    if strategy != "chief_ray":
+        # anchor to weighted mean so the sphere-anchored variants report
+        # zero-mean wavefront error
+        w = rays.intensity
+        opd_wv = -(opd - jnp.sum(opd * w) / jnp.sum(w)) / (wavelength * 1e-3)
+
+    t = opd_img / n_image
+    pupil_x = rays.x - t * rays.L
+    pupil_y = rays.y - t * rays.M
+    pupil_z_out = rays.z - t * rays.N
+    return WavefrontData(pupil_x=pupil_x, pupil_y=pupil_y,
+                         pupil_z=pupil_z_out, opd=opd_wv,
+                         intensity=rays.intensity, radius=R)
+
+
+def fit_and_remove_tilt(data: WavefrontData, remove_piston: bool = False,
+                        ridge: float = 1e-12):
+    """Weighted LSQ piston/tilt removal (reference wavefront/wavefront.py:96-142)."""
+    x, y, w, opd = data.pupil_x, data.pupil_y, data.intensity, data.opd
+    one = jnp.ones_like(x)
+    X = jnp.stack([one, x, y], axis=1)
+    W = jnp.sqrt(w)[:, None]
+    Xw = X * W
+    yw = opd * jnp.sqrt(w)
+    XtX = Xw.T @ Xw + ridge * jnp.eye(3, dtype=x.dtype)
+    Xty = Xw.T @ yw
+    coeffs = jnp.linalg.solve(XtX, Xty)
+    if not remove_piston:
+        coeffs = coeffs.at[0].set(0.0)
+    return opd - X @ coeffs
+
+
+class Wavefront:
+    """Facade mirroring the reference Wavefront controller
+    (wavefront/wavefront.py:26-167)."""
+
+    def __init__(self, optic, fields="all", wavelengths="all",
+                 num_rays: int = 12, distribution: str = "hexapolar",
+                 strategy: str = "chief_ray", remove_tilt: bool = False):
+        self.optic = optic
+        model, params = optic.build()
+        if fields == "all":
+            fields = field_coords(params)
+        if wavelengths == "all":
+            wavelengths = [float(w) for w in params["wavelengths"]]
+        elif wavelengths == "primary":
+            wavelengths = [optic.primary_wavelength]
+        self.fields = fields
+        self.wavelengths = wavelengths
+        Px, Py = generate_distribution(distribution, num_rays)
+        self.distribution_x, self.distribution_y = Px, Py
+        self.data = {}
+        for f in fields:
+            for wl in wavelengths:
+                d = wavefront_data(model, params, f, wl, Px, Py,
+                                   strategy=strategy)
+                if remove_tilt:
+                    d = dataclasses.replace(d, opd=fit_and_remove_tilt(d))
+                self.data[(f, wl)] = d
+
+    def get_data(self, field, wl) -> WavefrontData:
+        return self.data[(field, wl)]
+
+
+class OPD(Wavefront):
+    """OPD map for a single field/wavelength (reference wavefront/opd.py:37-230)."""
+
+    def __init__(self, optic, field, wavelength, num_rings: int = 15,
+                 strategy: str = "chief_ray", remove_tilt: bool = False):
+        super().__init__(optic, fields=[field], wavelengths=[wavelength],
+                         num_rays=num_rings, distribution="hexapolar",
+                         strategy=strategy, remove_tilt=remove_tilt)
+        self.field = field
+        self.wavelength = wavelength
+
+    def rms(self):
+        """Unweighted RMS over rays with nonzero intensity
+        (reference wavefront/opd.py rms)."""
+        d = self.get_data(self.field, self.wavelength)
+        valid = d.intensity > 0
+        n = jnp.sum(valid)
+        mean_sq = jnp.sum(jnp.where(valid, d.opd**2, 0.0)) / jnp.maximum(n, 1)
+        return jnp.sqrt(mean_sq)
+
+    def peak_to_valley(self):
+        d = self.get_data(self.field, self.wavelength)
+        valid = d.intensity > 0
+        opd = jnp.where(valid, d.opd, 0.0)
+        return jnp.max(opd) - jnp.min(opd)
+
+
+class ZernikeOPD:
+    """Zernike decomposition of the OPD map (reference wavefront/zernike_opd.py:21)."""
+
+    def __init__(self, optic, field, wavelength, num_rings: int = 15,
+                 zernike_type: str = "fringe", num_terms: int = 37):
+        self.opd = OPD(optic, field, wavelength, num_rings=num_rings)
+        d = self.opd.get_data(field, wavelength)
+        # normalized exit-pupil coordinates
+        px = d.pupil_x / jnp.max(jnp.abs(d.pupil_x))
+        py = d.pupil_y / jnp.max(jnp.abs(d.pupil_y))
+        self.fit = ZernikeFit(px, py, d.opd, zernike_type, num_terms)
+
+    @property
+    def coeffs(self):
+        return self.fit.coeffs

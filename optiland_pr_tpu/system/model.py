@@ -88,6 +88,17 @@ class OpticModel:
         return prev.material, prev.material_src
 
 
+def field_coords(params) -> list:
+    """Normalized (Hx, Hy) coordinates of the defined fields
+    (reference fields/field_group.py:111-130)."""
+    import numpy as np
+    f = np.asarray(params["fields"])
+    max_field = float(np.max(np.sqrt(np.sum(f**2, axis=1))))
+    if max_field == 0:
+        return [(0.0, 0.0)]
+    return [(float(x / max_field), float(y / max_field)) for x, y in f]
+
+
 def positions_from_params(params) -> jnp.ndarray:
     """z position of every surface vertex, surface 1 at z=0
     (reference surfaces/surface_group.py:143-149 convention).

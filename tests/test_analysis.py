@@ -1,0 +1,129 @@
+"""Analysis-layer parity vs the live reference (spot, wavefront/OPD, PSF,
+Zernike, MTF behavior, irradiance sanity)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from optiland_pr_tpu.samples import CookeTriplet, DoubleGauss
+from optiland_pr_tpu.analysis import (SpotDiagram, OPD, FFTPSF, FFTMTF,
+                                      GeometricMTF, RayFan, Distortion,
+                                      IncoherentIrradiance, encircled_energy)
+from optiland_pr_tpu.analysis.wavefront import wavefront_data
+from optiland_pr_tpu.core.distributions import generate_distribution
+from optiland_pr_tpu.core.zernike import ZernikeFit
+
+
+def test_spot_rms_parity(ref_optiland):
+    from optiland.analysis import SpotDiagram as RefSpot
+    from optiland.samples.objectives import CookeTriplet as RefCooke
+    ours = SpotDiagram(CookeTriplet())
+    ref = RefSpot(RefCooke())
+    np.testing.assert_allclose(np.asarray(ours.rms_spot_radius()),
+                               np.asarray(ref.rms_spot_radius()),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ours.geometric_spot_radius()),
+                               np.asarray(ref.geometric_spot_radius()),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_opd_parity(ref_optiland):
+    from optiland.wavefront import OPD as RefOPD
+    from optiland.samples.objectives import CookeTriplet as RefCooke
+    ours = OPD(CookeTriplet(), (0, 1), 0.55)
+    ref = RefOPD(RefCooke(), (0, 1), 0.55)
+    np.testing.assert_allclose(float(ours.rms()), float(ref.rms()),
+                               rtol=1e-9)
+    d = ours.get_data((0, 1), 0.55)
+    rd = list(ref.data.values())[0]
+    np.testing.assert_allclose(np.asarray(d.opd), np.asarray(rd.opd),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(d.pupil_x), np.asarray(rd.pupil_x),
+                               rtol=1e-8, atol=1e-12)
+
+
+def test_wavefront_multi_field_parity(ref_optiland):
+    from optiland.wavefront import Wavefront as RefWavefront
+    from optiland.samples.objectives import DoubleGauss as RefDG
+    ours_lens = DoubleGauss()
+    model, params = ours_lens.build()
+    Px, Py = generate_distribution("hexapolar", 8)
+    ref = RefWavefront(RefDG(), num_rays=8)
+    for (field, wl), rd in ref.data.items():
+        d = wavefront_data(model, params, field, wl, Px, Py)
+        np.testing.assert_allclose(np.asarray(d.opd), np.asarray(rd.opd),
+                                   rtol=1e-6, atol=1e-8,
+                                   err_msg=f"{field} {wl}")
+
+
+def test_fft_psf_parity(ref_optiland):
+    from optiland.psf import FFTPSF as RefFFTPSF
+    from optiland.samples.objectives import CookeTriplet as RefCooke
+    ours = FFTPSF(CookeTriplet(), (0, 0), 0.55, num_rays=32, grid_size=64)
+    ref = RefFFTPSF(RefCooke(), (0, 0), 0.55, num_rays=32, grid_size=64)
+    np.testing.assert_allclose(float(ours.strehl_ratio()),
+                               float(ref.strehl_ratio()), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(ours.psf), np.asarray(ref.psf),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_zernike_fit_parity(ref_optiland):
+    from optiland.zernike import ZernikeFit as RefZFit
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-1, 1, 400)
+    y = rng.uniform(-1, 1, 400)
+    m = x**2 + y**2 <= 1
+    x, y = x[m], y[m]
+    z = 0.3 * x - 0.1 * y + 0.2 * (2 * (x**2 + y**2) - 1) + 0.02 * rng.normal(
+        size=x.shape)
+    for ztype in ["fringe", "noll", "standard"]:
+        ref = RefZFit(x, y, z, ztype, 12)
+        ours = ZernikeFit(jnp.asarray(x), jnp.asarray(y), jnp.asarray(z),
+                          ztype, 12)
+        np.testing.assert_allclose(np.asarray(ours.coeffs),
+                                   np.asarray(ref.coeffs), rtol=1e-6,
+                                   atol=1e-10, err_msg=ztype)
+
+
+def test_encircled_energy_monotonic():
+    sd = SpotDiagram(CookeTriplet())
+    radii = jnp.linspace(0, 0.05, 10)
+    ee = encircled_energy(sd.data, radii)
+    assert ee.shape == (3, 3, 10)
+    assert np.all(np.diff(np.asarray(ee), axis=-1) >= -1e-12)
+    np.testing.assert_allclose(np.asarray(ee[..., -1]), 1.0, atol=1e-6)
+
+
+def test_ray_fan_runs():
+    rf = RayFan(CookeTriplet(), num_points=32)
+    d = rf.data[((0.0, 1.0), 0.55)]
+    assert np.isfinite(np.asarray(d["y_fan"])).all()
+    # fan is zero at the chief ray
+    assert abs(float(d["y_fan"][16])) < 1e-12
+
+
+def test_distortion_small_for_cooke():
+    d = Distortion(CookeTriplet(), num_points=16)
+    assert np.max(np.abs(np.asarray(d.data[0]))) < 5.0  # a few percent
+
+
+def test_mtf_behaviour():
+    mtf = FFTMTF(CookeTriplet(), field=(0, 0), wavelength=0.55, num_rays=32,
+                 grid_size=64)
+    t = np.asarray(mtf.mtf_tangential)
+    assert abs(t[0] - 1.0) < 1e-9
+    assert np.all(t <= 1.0 + 1e-9)
+    g = GeometricMTF(CookeTriplet(), num_rays=16, num_points=32)
+    for mt, ms in g.mtf:
+        assert float(mt[0]) > 0.99
+
+
+def test_irradiance_conserves_power():
+    irr = IncoherentIrradiance(CookeTriplet(), fields=[(0, 0)], num_rays=32,
+                               distribution="uniform", res=(32, 32),
+                               total_power=1.0)
+    d = irr.data[0]
+    x_min, x_max, y_min, y_max = [float(v) for v in d["extent"]]
+    px_area = (x_max - x_min) / 32 * (y_max - y_min) / 32
+    total = float(jnp.sum(d["map"]) * px_area)
+    # nearly all power lands on the detector (some absorption in glass)
+    assert 0.95 < total <= 1.0
