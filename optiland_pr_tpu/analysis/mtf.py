@@ -91,9 +91,15 @@ class GeometricMTF:
                             distribution=distribution)
         self.mtf = []   # per field: (tangential, sagittal)
         for i in range(len(fields)):
-            xs = data.x[i, 0] - jnp.mean(data.x[i, 0])
-            ys = data.y[i, 0] - jnp.mean(data.y[i, 0])
-            w = data.intensity[i, 0]
+            x_raw = data.x[i, 0]
+            y_raw = data.y[i, 0]
+            ok = jnp.isfinite(x_raw) & jnp.isfinite(y_raw)
+            w = jnp.where(ok, data.intensity[i, 0], 0.0)
+            wsum = jnp.maximum(jnp.sum(w), 1e-12)
+            x_raw = jnp.where(ok, x_raw, 0.0)
+            y_raw = jnp.where(ok, y_raw, 0.0)
+            xs = x_raw - jnp.sum(x_raw * w) / wsum
+            ys = y_raw - jnp.sum(y_raw * w) / wsum
             mt = self._axis_mtf(ys, w)
             ms = self._axis_mtf(xs, w)
             self.mtf.append((mt, ms))
