@@ -7,6 +7,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from ..system.model import field_coords
 from ..trace.paraxial import Paraxial
 from .psf import FFTPSF
 from .spot import spot_diagram
@@ -75,7 +76,7 @@ class GeometricMTF:
         wavelength = wavelength or optic.primary_wavelength
         self.wavelength = wavelength
         if fields == "all":
-            fields = [tuple(map(float, f)) for f in params["fields"]]
+            fields = field_coords(params)
         self.fields = fields
 
         par = Paraxial(model, params)
