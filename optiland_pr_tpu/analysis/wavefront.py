@@ -45,8 +45,9 @@ def _opd_image_to_xp(rays, xc, yc, zc, R, n_image):
          - 2 * (xr * xc + yr * yc + zr * zc)
          + xc**2 + yc**2 + zc**2 - R**2)
     d = b**2 - 4 * a * c
-    d = jnp.where(d < 0, 0.0, d)
-    sq = jnp.sqrt(d)
+    ok = d >= 0
+    # value parity with reference (sqrt->0 when d<0) with finite gradients
+    sq = jnp.where(ok, jnp.sqrt(jnp.where(ok, d, 1.0)), 0.0)
     t = (-b - sq) / (2 * a)
     t = jnp.where(t < 0, (-b + sq) / (2 * a), t)
     return n_image * t

@@ -16,11 +16,10 @@ TINY = 1e-14
 
 
 def safe_sqrt(x):
-    """sqrt clamped at zero: returns 0 for negative inputs, with finite gradient.
-
-    Gradient at x<=0 is 0 (not inf/NaN) because the clamped branch is constant.
-    """
-    return jnp.sqrt(jnp.maximum(x, 0.0))
+    """sqrt clamped at zero: returns 0 for x<=0 with exactly-zero gradient
+    there (double-where keeps the discarded branch's partial finite)."""
+    ok = x > 0
+    return jnp.where(ok, jnp.sqrt(jnp.where(ok, x, 1.0)), 0.0)
 
 
 def nan_sqrt(x):

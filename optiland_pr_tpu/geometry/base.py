@@ -44,7 +44,11 @@ def conic_distance(radius, conic, x, y, z, L, M, N):
 
     d = b**2 - 4 * a * c
     ok = d >= 0
-    sqrt_d = jnp.where(ok, jnp.sqrt(jnp.where(ok, d, 1.0)), jnp.nan)
+    # Double-where pattern: (1) sqrt's argument is substituted where invalid
+    # so its gradient stays finite (sqrt(max(d,0)) would give inf at the clamp
+    # and inf*0=NaN in reverse-mode); (2) NaN is injected ONLY at the final
+    # output so no discarded branch ever carries NaN into arithmetic.
+    sqrt_d = jnp.sqrt(jnp.where(ok, d, 1.0))
 
     a_safe = safe_div(jnp.ones_like(a), a)  # 1/a with clamp
     t1 = (-b + sqrt_d) * 0.5 * a_safe
@@ -56,6 +60,7 @@ def conic_distance(radius, conic, x, y, z, L, M, N):
 
     # degenerate quadratic (a == 0): linear solution -c/b
     t = jnp.where(a == 0, safe_div(-c, b), t)
+    t = jnp.where(ok, t, jnp.nan)  # ray misses the conic entirely
 
     # plane: z + t*N = 0
     t_plane = safe_div(-z, N)

@@ -20,8 +20,10 @@ def _conic_sag(radius, conic, x, y):
     r2 = x**2 + y**2
     arg = 1.0 - (1.0 + conic) * r2 / R**2
     ok = arg >= 0
-    root = jnp.where(ok, jnp.sqrt(jnp.where(ok, arg, 1.0)), jnp.nan)
+    # double-where: finite value AND finite gradient in discarded branches
+    root = jnp.sqrt(jnp.where(ok, arg, 1.0))
     z = r2 / (R * (1.0 + root))
+    z = jnp.where(ok, z, jnp.nan)
     return jnp.where(is_plane, jnp.zeros_like(z), z)
 
 
@@ -32,10 +34,10 @@ def _conic_sag_grad(radius, conic, x, y):
     r2 = x**2 + y**2
     arg = 1.0 - (1.0 + conic) * r2 / R**2
     ok = arg >= 0
-    root = jnp.where(ok, jnp.sqrt(jnp.where(ok, arg, 1.0)), jnp.nan)
+    root = jnp.sqrt(jnp.where(ok, arg, 1.0))
     denom = R * root
-    dfdx = safe_div(x, denom)
-    dfdy = safe_div(y, denom)
+    dfdx = jnp.where(ok, safe_div(x, denom), jnp.nan)
+    dfdy = jnp.where(ok, safe_div(y, denom), jnp.nan)
     zero = jnp.zeros_like(dfdx)
     return (jnp.where(is_plane, zero, dfdx), jnp.where(is_plane, zero, dfdy))
 

@@ -255,6 +255,11 @@ class Optic:
         model, params = self.build()
         return Paraxial(model, params)
 
+    @property
+    def aberrations(self):
+        from ..trace.aberrations import Aberrations
+        return Aberrations(self)
+
     def trace(self, Hx=0.0, Hy=0.0, wavelength=None, num_rays: int = 100,
               distribution: str = "hexapolar", record: bool = False):
         """Trace a pupil distribution (reference optic/optic.py:584-609)."""
