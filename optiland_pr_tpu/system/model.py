@@ -123,6 +123,8 @@ def make_surface_params(spec: SurfaceDef, thickness, geom_kw: dict,
     }
     if spec.aperture is not None:
         p["aperture"] = aperture_params
+    if spec.coating is not None:
+        p["coating"] = spec.coating.default_params()
     if spec.has_tilt_decenter:
         p["cs"] = {k: jnp.asarray(cs_kw.get(k, 0.0), dt)
                    for k in ("dx", "dy", "dz", "rx", "ry", "rz")}

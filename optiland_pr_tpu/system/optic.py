@@ -171,6 +171,13 @@ class Optic:
                 last_material_src = k
 
             ap_def, ap_params = configure_aperture(e["aperture"])
+            coating = e["coating"]
+            if isinstance(coating, str):
+                from .coatings import FresnelCoating
+                if coating.lower() == "fresnel":
+                    coating = FresnelCoating()
+                else:
+                    raise ValueError(f"unknown coating spec {coating!r}")
             has_td = any(float(e[kk]) != 0.0
                          for kk in ("dx", "dy", "dz", "rx", "ry", "rz")) \
                 or bool(e["geom_kw"].get("force_transform", False))
@@ -189,7 +196,7 @@ class Optic:
                 has_tilt_decenter=has_td,
                 is_object=is_object,
                 is_image=is_image,
-                coating=e["coating"],
+                coating=coating,
                 bsdf=e["bsdf"],
                 comment=e["comment"],
             )

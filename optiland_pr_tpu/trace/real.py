@@ -81,15 +81,35 @@ def trace_surface(model: OpticModel, params, k: int, rays: R.Rays,
     # ---- interact --------------------------------------------------------
     if spec.interaction == "refract_reflect":
         nx, ny, nz = spec.geometry.normal(sp["geom"], rays.x, rays.y)
+        L0, M0, N0 = rays.L, rays.M, rays.N  # pre-interaction directions
         if spec.is_reflective:
             rays = R.reflect(rays, nx, ny, nz)
+            n2 = n1
         else:
             mat2, mp2 = _post_material(model, params, k)
             n2 = mat2.n(mp2, rays.wavelength)
             rays = R.refract(rays, nx, ny, nz, n1, n2)
-        if spec.coating is not None:
-            rays = spec.coating.apply(sp.get("coating", {}), rays, nx, ny, nz,
-                                      model, params, k)
+
+        coating = spec.coating
+        # scalar-intensity coating (reference coatings.py SimpleCoating)
+        if coating is not None and not coating.polarization_dependent:
+            factor = coating.intensity_factor(sp.get("coating", {}),
+                                              spec.is_reflective)
+            rays = rays.replace(intensity=rays.intensity * factor)
+
+        # polarization chain update (reference interactions/base.py:111-127:
+        # coating.interact -> rays.update(jones), or rays.update() bare)
+        if rays.p is not None:
+            jones = None
+            if coating is not None and coating.polarization_dependent:
+                _, _, _, cosi = R.align_normal(L0, M0, N0, nx, ny, nz)
+                aoi = jnp.arccos(jnp.clip(cosi, -1.0, 1.0))
+                jones = coating.jones(n1, n2, aoi, spec.is_reflective)
+            from ..core.polarization import apply_polarization_update
+            p_new = apply_polarization_update(rays.p, L0, M0, N0,
+                                              rays.L, rays.M, rays.N, jones)
+            rays = rays.replace(p=p_new)
+
         if spec.bsdf is not None:
             rays = spec.bsdf.scatter(sp.get("bsdf", {}), rays, nx, ny, nz)
     elif spec.interaction == "thin_lens":
@@ -179,9 +199,24 @@ def trace(model: OpticModel, params, Hx, Hy, wavelength, Px, Py,
     rays = generate_rays(model, params, Hx_full, Hy_full, Px_full, Py_full,
                          wavelength, apodization=apodization,
                          polarized=(model.polarization != "ignore"))
+    launch = rays
     rays, history = trace_system(model, params, rays, record=record)
     rays = _final_image_propagation(model, params, rays)
+    rays = _finalize_polarization(model, rays, launch)
     return (rays, history) if record else rays
+
+
+def _finalize_polarization(model, rays, launch):
+    """Update intensity from the accumulated polarization chain (reference
+    raytrace/real_ray_tracer.py:93-95 -> polarized_rays.update_intensity)."""
+    if rays.p is None or model.polarization == "ignore":
+        return rays
+    from ..core.polarization import update_intensity
+    state = model.polarization if not isinstance(model.polarization, str) \
+        else None
+    i_new = update_intensity(rays.p, state, launch.intensity,
+                             launch.L, launch.M, launch.N)
+    return rays.replace(intensity=i_new)
 
 
 def trace_generic(model: OpticModel, params, Hx, Hy, Px, Py, wavelength,
@@ -196,6 +231,8 @@ def trace_generic(model: OpticModel, params, Hx, Hy, Px, Py, wavelength,
     Py = Py * (1 - vy)
     rays = generate_rays(model, params, Hx, Hy, Px, Py, wavelength,
                          polarized=(model.polarization != "ignore"))
+    launch = rays
     rays, history = trace_system(model, params, rays, record=record)
     rays = _final_image_propagation(model, params, rays)
+    rays = _finalize_polarization(model, rays, launch)
     return (rays, history) if record else rays
