@@ -2,7 +2,10 @@ from .base import Geometry, conic_distance, newton_distance
 from .standard import Plane, StandardGeometry
 from .aspheres import (Biconic, ChebyshevSag, EvenAsphere, OddAsphere,
                        PolynomialXY, Toroidal)
+from .extras import (FresnelZoneSag, GridSag, PlaneGrating, StandardGrating,
+                     ZernikeSag)
 
 __all__ = ["Geometry", "conic_distance", "newton_distance", "Plane",
            "StandardGeometry", "Biconic", "ChebyshevSag", "EvenAsphere",
-           "OddAsphere", "PolynomialXY", "Toroidal"]
+           "OddAsphere", "PolynomialXY", "Toroidal", "FresnelZoneSag",
+           "GridSag", "PlaneGrating", "StandardGrating", "ZernikeSag"]

@@ -15,6 +15,8 @@ from ..config import default_float
 from ..core.distributions import generate_distribution
 from ..geometry import (Biconic, ChebyshevSag, EvenAsphere, OddAsphere, Plane,
                         PolynomialXY, StandardGeometry, Toroidal)
+from ..geometry.extras import (FresnelZoneSag, GridSag, PlaneGrating,
+                               StandardGrating, ZernikeSag)
 from ..materials import resolve_material
 from ..materials.base import Mirror
 from ..trace import real as real_trace
@@ -35,6 +37,14 @@ _GEOMETRY_BUILDERS = {
     "biconic": lambda kw: Biconic(),
     "toroidal": lambda kw: Toroidal(len(kw.get("coeffs_poly_y") or [])),
     "paraxial": lambda kw: Plane(),
+    "zernike": lambda kw: ZernikeSag(len(kw.get("coefficients") or []),
+                                     kw.get("zernike_type", "standard")),
+    "grid_sag": lambda kw: GridSag(*(__import__("numpy").asarray(
+        kw["sag_grid"]).shape[::-1])),
+    "standard_grating": lambda kw: StandardGrating(),
+    "plane_grating": lambda kw: PlaneGrating(),
+    "grating": lambda kw: StandardGrating(),
+    "fresnel_zone": lambda kw: FresnelZoneSag(),
 }
 
 
@@ -182,8 +192,13 @@ class Optic:
                          for kk in ("dx", "dy", "dz", "rx", "ry", "rz")) \
                 or bool(e["geom_kw"].get("force_transform", False))
 
-            interaction = "thin_lens" if e["surface_type"] == "paraxial" \
-                else "refract_reflect"
+            if e["surface_type"] == "paraxial":
+                interaction = "thin_lens"
+            elif e["surface_type"] in ("standard_grating", "plane_grating",
+                                       "grating"):
+                interaction = "grating"
+            else:
+                interaction = "refract_reflect"
 
             spec = SurfaceDef(
                 geometry=geometry,

@@ -125,12 +125,16 @@ def trace_surface(model: OpticModel, params, k: int, rays: R.Rays,
         norm = jnp.sqrt(ux2**2 + uy2**2 + 1.0)
         rays = rays.replace(L=ux2 / norm, M=uy2 / norm, N=1.0 / norm)
     elif spec.interaction == "grating":
+        # reference interactions/diffractive_model.py: grating vector from the
+        # geometry, period corrected for the surface-projection factor
         nx, ny, nz = spec.geometry.normal(sp["geom"], rays.x, rays.y)
         mat2, mp2 = _post_material(model, params, k)
         n2 = mat2.n(mp2, rays.wavelength)
-        g = sp["grating"]
-        rays = R.grating_diffract(rays, nx, ny, nz, g["fx"], g["fy"], g["fz"],
-                                  g["order"], g["period"], n1, n2,
+        gp = sp["geom"]
+        fx, fy, fz = spec.geometry.grating_vector(gp, rays.x, rays.y)
+        period = gp["grating_period"] / jnp.sqrt(fx**2 + fy**2)
+        rays = R.grating_diffract(rays, nx, ny, nz, fx, fy, fz,
+                                  gp["grating_order"], period, n1, n2,
                                   spec.is_reflective)
     elif spec.interaction == "phase":
         rays = spec.phase_profile.interact(sp["phase"], rays, n1,
