@@ -1,0 +1,7 @@
+from .json_io import (optic_to_dict, optic_from_dict, save_optiland_file,
+                      load_optiland_file, save_optic, load_optic)
+from .zemax import load_zemax_file, ZemaxFileReader
+
+__all__ = ["optic_to_dict", "optic_from_dict", "save_optiland_file",
+           "load_optiland_file", "save_optic", "load_optic",
+           "load_zemax_file", "ZemaxFileReader"]

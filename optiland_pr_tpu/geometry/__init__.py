@@ -4,8 +4,9 @@ from .aspheres import (Biconic, ChebyshevSag, EvenAsphere, OddAsphere,
                        PolynomialXY, Toroidal)
 from .extras import (FresnelZoneSag, GridSag, PlaneGrating, StandardGrating,
                      ZernikeSag)
+from .forbes import ForbesQbfs
 
 __all__ = ["Geometry", "conic_distance", "newton_distance", "Plane",
            "StandardGeometry", "Biconic", "ChebyshevSag", "EvenAsphere",
            "OddAsphere", "PolynomialXY", "Toroidal", "FresnelZoneSag",
-           "GridSag", "PlaneGrating", "StandardGrating", "ZernikeSag"]
+           "GridSag", "PlaneGrating", "StandardGrating", "ZernikeSag", "ForbesQbfs"]

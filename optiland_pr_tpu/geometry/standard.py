@@ -61,8 +61,11 @@ class Plane(Geometry):
         return zero, zero
 
     def normal(self, p, x, y):
+        # +z, matching the reference Plane (geometries/plane.py:79-92) whose
+        # sign differs from the conic df/dz=-1 convention; interactions that
+        # care align the normal against the ray anyway.
         zero = jnp.zeros_like(jnp.asarray(x) + jnp.asarray(y))
-        return zero, zero, -jnp.ones_like(zero)
+        return zero, zero, jnp.ones_like(zero)
 
     def distance(self, p, x, y, z, L, M, N):
         return safe_div(-z, N)

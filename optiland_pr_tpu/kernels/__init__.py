@@ -1,0 +1,3 @@
+from .pallas_trace import pallas_trace_conic, pack_surface_constants, supports_model
+
+__all__ = ["pallas_trace_conic", "pack_surface_constants", "supports_model"]

@@ -1,0 +1,232 @@
+"""Fused Pallas trace kernel for conic surface stacks.
+
+The XLA path executes the unrolled surface chain as fused elementwise ops, but
+intermediate ray state still round-trips HBM between fusion boundaries. This
+kernel keeps the ENTIRE surface stack's ray state in VMEM: the grid tiles the
+ray axis; each tile loads launch state once, loops over all surfaces in
+registers/VMEM, and writes final state once (SURVEY.md §7 stage 7).
+
+Scope: homogeneous conic stacks (plane/sphere/conic + refract/reflect) with
+per-surface scalar refractive indices — i.e. single-wavelength traces of
+all-spherical systems like the Cooke triplet / double Gauss benchmarks.
+The general path (NR aspheres, gratings, polarization) stays on XLA.
+
+Surface constants are packed into a [S, 8] array: the kernel receives it whole
+in VMEM and reads scalars per (statically unrolled) surface:
+  [radius_inv, conic, pos_z, n1, n2, is_plane, is_reflective, alpha_abs]
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..system.model import OpticModel, positions_from_params
+
+__all__ = ["pack_surface_constants", "pallas_trace_conic", "supports_model"]
+
+_EPS = 1e-14
+
+
+def supports_model(model: OpticModel) -> bool:
+    """True if every inner surface is a conic refract/reflect surface without
+    apertures/coatings/BSDFs (the fast-path contract)."""
+    for spec in model.surfaces[1:]:
+        if spec.geometry.kind not in ("standard", "plane"):
+            return False
+        if spec.interaction != "refract_reflect":
+            return False
+        if spec.aperture is not None or spec.coating is not None \
+                or spec.bsdf is not None:
+            return False
+    return model.polarization == "ignore"
+
+
+def pack_surface_constants(model: OpticModel, params, wavelength) -> jnp.ndarray:
+    """[S, 8] per-surface scalars for the kernel (positions, curvature, conic,
+    indices, absorption)."""
+    pos = positions_from_params(params)
+    rows = []
+    S = model.num_surfaces
+    for k in range(1, S):
+        spec = model.surfaces[k]
+        sp = params["surfaces"][k]
+        radius = sp["geom"].get("radius", jnp.asarray(jnp.inf))
+        conic = sp["geom"].get("conic", jnp.asarray(0.0))
+        is_plane = jnp.isinf(radius)
+        radius_inv = jnp.where(is_plane, 0.0, 1.0 / radius)
+
+        pre = model.surfaces[k - 1]
+        mat1 = model.surfaces[pre.material_src].material
+        mp1 = params["surfaces"][pre.material_src]["material"]
+        n1 = mat1.n(mp1, jnp.asarray(wavelength))
+        if spec.is_reflective:
+            n2 = n1
+        else:
+            mat2 = model.surfaces[spec.material_src].material
+            mp2 = params["surfaces"][spec.material_src]["material"]
+            n2 = mat2.n(mp2, jnp.asarray(wavelength))
+        alpha = jnp.asarray(0.0)
+        if mat1.absorbing:
+            kext = mat1.k(mp1, jnp.asarray(wavelength))
+            alpha = 4.0 * jnp.pi * kext / jnp.asarray(wavelength)
+        rows.append(jnp.stack([
+            jnp.reshape(radius_inv, ()), jnp.reshape(conic, ()),
+            jnp.reshape(pos[k], ()), jnp.reshape(n1, ()),
+            jnp.reshape(n2, ()), jnp.reshape(is_plane.astype(radius.dtype), ()),
+            jnp.asarray(1.0 if spec.is_reflective else 0.0, radius.dtype),
+            jnp.reshape(alpha, ()),
+        ]))
+    return jnp.stack(rows).astype(jnp.float32)
+
+
+def _surface_step(c, x, y, z, L, M, N, inten, opd):
+    """One conic surface interaction; all elementwise VPU ops."""
+    radius_inv, conic, pos_z, n1, n2, is_plane, is_refl, alpha = (
+        c[0], c[1], c[2], c[3], c[4], c[5], c[6], c[7])
+
+    z = z - pos_z
+
+    # ---- intersection (reference geometries/standard.py:89-140, with the
+    # curvature form: multiply through by radius_inv to avoid inf radius) ----
+    # plane: t = -z / N
+    t_plane = -z / jnp.where(jnp.abs(N) > _EPS, N, _EPS)
+    # conic quadratic in curvature form: a c t^2 ... (scaled by radius_inv)
+    a = (conic * N * N + L * L + M * M + N * N) * radius_inv
+    b = 2.0 * (conic * N * z + L * x + M * y + N * z) * radius_inv - 2.0 * N
+    cc = (conic * z * z + x * x + y * y + z * z) * radius_inv - 2.0 * z
+    disc = b * b - 4.0 * a * cc
+    ok = disc >= 0
+    sq = jnp.sqrt(jnp.where(ok, disc, 1.0))
+    a_safe = jnp.where(jnp.abs(a) > _EPS, a, _EPS)
+    t1 = (-b + sq) / (2.0 * a_safe)
+    t2 = (-b - sq) / (2.0 * a_safe)
+    z1 = z + t1 * N
+    z2 = z + t2 * N
+    t_conic = jnp.where(jnp.abs(z1) <= jnp.abs(z2), t1, t2)
+    t_conic = jnp.where(a == 0, -cc / jnp.where(jnp.abs(b) > _EPS, b, _EPS),
+                        t_conic)
+    t_conic = jnp.where(ok, t_conic, jnp.nan)
+    t = jnp.where(is_plane > 0, t_plane, t_conic)
+
+    # ---- propagate + OPD + absorption -----------------------------------
+    x = x + t * L
+    y = y + t * M
+    z = z + t * N
+    opd = opd + jnp.abs(t * n1)
+    inten = inten * jnp.exp(-alpha * t * 1e3)
+
+    # ---- normal (curvature form: dfdx = x * ci / sqrt(1-(1+k) ci^2 r^2)) --
+    r2 = x * x + y * y
+    arg = 1.0 - (1.0 + conic) * radius_inv * radius_inv * r2
+    ok_n = arg >= 0
+    root = jnp.sqrt(jnp.where(ok_n, arg, 1.0))
+    denom = jnp.where(jnp.abs(root) > _EPS, root, _EPS)
+    dfdx = jnp.where(is_plane > 0, 0.0, x * radius_inv / denom)
+    dfdy = jnp.where(is_plane > 0, 0.0, y * radius_inv / denom)
+    mag = jnp.sqrt(dfdx * dfdx + dfdy * dfdy + 1.0)
+    nx = dfdx / mag
+    ny = dfdy / mag
+    nz = -1.0 / mag
+
+    # ---- align + refract/reflect (reference rays/real_rays.py:141-181) ---
+    dot = L * nx + M * ny + N * nz
+    sgn = jnp.sign(dot)
+    nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
+    dot = jnp.abs(dot)
+
+    u = n1 / n2
+    disc_r = 1.0 - u * u * (1.0 - dot * dot)
+    ok_r = disc_r >= 0
+    root_r = jnp.where(ok_r, jnp.sqrt(jnp.where(ok_r, disc_r, 1.0)), jnp.nan)
+    Lr = u * L + nx * root_r - u * nx * dot
+    Mr = u * M + ny * root_r - u * ny * dot
+    Nr = u * N + nz * root_r - u * nz * dot
+    Lm = L - 2.0 * dot * nx
+    Mm = M - 2.0 * dot * ny
+    Nm = N - 2.0 * dot * nz
+    L = jnp.where(is_refl > 0, Lm, Lr)
+    M = jnp.where(is_refl > 0, Mm, Mr)
+    N = jnp.where(is_refl > 0, Nm, Nr)
+
+    z = z + pos_z
+    return x, y, z, L, M, N, inten, opd
+
+
+def _kernel(consts_ref, x_ref, y_ref, z_ref, l_ref, m_ref, n_ref, i_ref,
+            o_ref, xo, yo, zo, lo, mo, no, io, oo, *, num_surfaces: int):
+    x = x_ref[:]
+    y = y_ref[:]
+    z = z_ref[:]
+    L = l_ref[:]
+    M = m_ref[:]
+    N = n_ref[:]
+    inten = i_ref[:]
+    opd = o_ref[:]
+    for k in range(num_surfaces - 1):
+        c = consts_ref[k, :]
+        x, y, z, L, M, N, inten, opd = _surface_step(
+            c, x, y, z, L, M, N, inten, opd)
+    xo[:] = x
+    yo[:] = y
+    zo[:] = z
+    lo[:] = L
+    mo[:] = M
+    no[:] = N
+    io[:] = inten
+    oo[:] = opd
+
+
+@functools.partial(jax.jit, static_argnames=("num_surfaces", "block_rows"))
+def _pallas_call_2d(consts, x, y, z, L, M, N, inten, opd,
+                    num_surfaces: int, block_rows: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, lanes = x.shape
+    grid = (rows // block_rows,)
+    ray_spec = pl.BlockSpec((block_rows, lanes), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec((num_surfaces - 1, 8), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct(x.shape, x.dtype)] * 8
+    kernel = functools.partial(_kernel, num_surfaces=num_surfaces)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[const_spec] + [ray_spec] * 8,
+        out_specs=[ray_spec] * 8,
+        out_shape=out_shape,
+    )(consts, x, y, z, L, M, N, inten, opd)
+
+
+def pallas_trace_conic(model: OpticModel, params, rays, wavelength,
+                       block_rows: int = 256):
+    """Trace a ray bundle through an all-conic system with the fused kernel.
+
+    Returns a Rays pytree with the final state (positions at the image
+    surface, before the final image-thickness propagation).
+    """
+    assert supports_model(model), "model not supported by the fused kernel"
+    consts = pack_surface_constants(model, params, wavelength)
+
+    n = rays.x.shape[-1]
+    lanes = 128
+    per_block = block_rows * lanes
+    n_pad = ((n + per_block - 1) // per_block) * per_block
+    rows = n_pad // lanes
+
+    def shape(a):
+        a = jnp.asarray(a, jnp.float32)
+        a = jnp.pad(a, (0, n_pad - n))
+        return a.reshape(rows, lanes)
+
+    args = [shape(v) for v in (rays.x, rays.y, rays.z, rays.L, rays.M,
+                               rays.N, rays.intensity, rays.opd)]
+    out = _pallas_call_2d(consts, *args, num_surfaces=model.num_surfaces,
+                          block_rows=block_rows)
+    x, y, z, L, M, N, inten, opd = [o.reshape(-1)[:n] for o in out]
+    return rays.replace(x=x, y=y, z=z, L=L, M=M, N=N, intensity=inten,
+                        opd=opd)

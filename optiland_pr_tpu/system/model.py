@@ -125,6 +125,11 @@ def make_surface_params(spec: SurfaceDef, thickness, geom_kw: dict,
         p["aperture"] = aperture_params
     if spec.coating is not None:
         p["coating"] = spec.coating.default_params()
+    if spec.bsdf is not None:
+        p["bsdf"] = spec.bsdf.default_params()
+    if spec.phase_profile is not None:
+        p["phase"] = spec.phase_profile.default_params(
+            **geom_kw.get("phase_kw", {}))
     if spec.has_tilt_decenter:
         p["cs"] = {k: jnp.asarray(cs_kw.get(k, 0.0), dt)
                    for k in ("dx", "dy", "dz", "rx", "ry", "rz")}

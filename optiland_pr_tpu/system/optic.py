@@ -17,6 +17,7 @@ from ..geometry import (Biconic, ChebyshevSag, EvenAsphere, OddAsphere, Plane,
                         PolynomialXY, StandardGeometry, Toroidal)
 from ..geometry.extras import (FresnelZoneSag, GridSag, PlaneGrating,
                                StandardGrating, ZernikeSag)
+from ..geometry.forbes import ForbesQbfs
 from ..materials import resolve_material
 from ..materials.base import Mirror
 from ..trace import real as real_trace
@@ -45,6 +46,14 @@ _GEOMETRY_BUILDERS = {
     "plane_grating": lambda kw: PlaneGrating(),
     "grating": lambda kw: StandardGrating(),
     "fresnel_zone": lambda kw: FresnelZoneSag(),
+    "forbes_qbfs": lambda kw: ForbesQbfs(
+        len(kw.get("coefficients") or [])
+        or (max(kw.get("radial_terms", {0: 0}).keys()) + 1)),
+    "phase": lambda kw: (StandardGeometry()
+                         if not __import__("numpy").isinf(
+                             __import__("numpy").asarray(kw.get("radius",
+                                                               float("inf"))))
+                         else Plane()),
 }
 
 
@@ -194,6 +203,9 @@ class Optic:
 
             if e["surface_type"] == "paraxial":
                 interaction = "thin_lens"
+            elif e["surface_type"] == "phase" or e["geom_kw"].get(
+                    "phase_profile") is not None:
+                interaction = "phase"
             elif e["surface_type"] in ("standard_grating", "plane_grating",
                                        "grating"):
                 interaction = "grating"
@@ -213,6 +225,7 @@ class Optic:
                 is_image=is_image,
                 coating=coating,
                 bsdf=e["bsdf"],
+                phase_profile=e["geom_kw"].get("phase_profile"),
                 comment=e["comment"],
             )
             # mirror keeps the pre-material: point the spec's material at src

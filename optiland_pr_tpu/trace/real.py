@@ -40,10 +40,17 @@ def _post_material(model: OpticModel, params, k: int):
 
 
 def trace_surface(model: OpticModel, params, k: int, rays: R.Rays,
-                  positions) -> R.Rays:
-    """Trace rays through surface k (reference standard_surface.py:186-233)."""
+                  positions, key=None, wl_scalar=None) -> R.Rays:
+    """Trace rays through surface k (reference standard_surface.py:186-233).
+
+    ``wl_scalar``: when the whole bundle shares one wavelength, material
+    dispersion evaluates on the scalar (hoisted by XLA to one constant per
+    surface) instead of per-ray — per-ray table interpolation means gather
+    ops, which are slow on TPU.
+    """
     spec = model.surfaces[k]
     sp = params["surfaces"][k]
+    wl = rays.wavelength if wl_scalar is None else wl_scalar
 
     # ---- localize --------------------------------------------------------
     tz = positions[k]
@@ -63,11 +70,11 @@ def trace_surface(model: OpticModel, params, k: int, rays: R.Rays,
 
     # ---- propagate through pre-material ---------------------------------
     mat1, mp1 = _pre_material(model, params, k)
-    n1 = mat1.n(mp1, rays.wavelength)
+    n1 = mat1.n(mp1, wl)
     alpha = None
     if mat1.absorbing:
-        kext = mat1.k(mp1, rays.wavelength)
-        alpha = 4.0 * jnp.pi * kext / rays.wavelength
+        kext = mat1.k(mp1, wl)
+        alpha = 4.0 * jnp.pi * kext / wl
     rays = R.propagate(rays, t, alpha=alpha)
 
     # ---- OPD -------------------------------------------------------------
@@ -87,7 +94,7 @@ def trace_surface(model: OpticModel, params, k: int, rays: R.Rays,
             n2 = n1
         else:
             mat2, mp2 = _post_material(model, params, k)
-            n2 = mat2.n(mp2, rays.wavelength)
+            n2 = mat2.n(mp2, wl)
             rays = R.refract(rays, nx, ny, nz, n1, n2)
 
         coating = spec.coating
@@ -111,13 +118,17 @@ def trace_surface(model: OpticModel, params, k: int, rays: R.Rays,
             rays = rays.replace(p=p_new)
 
         if spec.bsdf is not None:
-            rays = spec.bsdf.scatter(sp.get("bsdf", {}), rays, nx, ny, nz)
+            if key is None:
+                raise ValueError("BSDF surfaces require a PRNG key: "
+                                 "trace_system(..., key=...)")
+            rays = spec.bsdf.scatter(sp.get("bsdf", {}), rays, nx, ny, nz,
+                                     key)
     elif spec.interaction == "thin_lens":
         # ideal lens: bend toward paraxial focus f (reference
         # interactions/thin_lens_interaction_model.py)
         f = sp["f"]
         mat2, mp2 = _post_material(model, params, k)
-        n2 = mat2.n(mp2, rays.wavelength)
+        n2 = mat2.n(mp2, wl)
         ux = rays.L / rays.N
         uy = rays.M / rays.N
         ux2 = (n1 * ux - rays.x / f) / n2
@@ -129,7 +140,7 @@ def trace_surface(model: OpticModel, params, k: int, rays: R.Rays,
         # geometry, period corrected for the surface-projection factor
         nx, ny, nz = spec.geometry.normal(sp["geom"], rays.x, rays.y)
         mat2, mp2 = _post_material(model, params, k)
-        n2 = mat2.n(mp2, rays.wavelength)
+        n2 = mat2.n(mp2, wl)
         gp = sp["geom"]
         fx, fy, fz = spec.geometry.grating_vector(gp, rays.x, rays.y)
         period = gp["grating_period"] / jnp.sqrt(fx**2 + fy**2)
@@ -137,8 +148,37 @@ def trace_surface(model: OpticModel, params, k: int, rays: R.Rays,
                                   gp["grating_order"], period, n1, n2,
                                   spec.is_reflective)
     elif spec.interaction == "phase":
-        rays = spec.phase_profile.interact(sp["phase"], rays, n1,
-                                           _post_material(model, params, k))
+        # reference interactions/phase_interaction_model.py: tangential
+        # wavevector + surface-projected phase gradient; normal component
+        # rebuilt from |k_out| = n2 k0; OPD -= phase/k0
+        nx, ny, nz = spec.geometry.normal(sp["geom"], rays.x, rays.y)
+        mat2, mp2 = _post_material(model, params, k)
+        n2 = n1 if spec.is_reflective else mat2.n(mp2, wl)
+        k0 = 2 * jnp.pi / wl
+        pp = sp["phase"]
+        prof = spec.phase_profile
+        phase_val = prof.phase(pp, rays.x, rays.y)
+        gx, gy, gz = prof.gradient(pp, rays.x, rays.y)
+        g_dot_n = gx * nx + gy * ny + gz * nz
+        Gx, Gy, Gz = gx - g_dot_n * nx, gy - g_dot_n * ny, gz - g_dot_n * nz
+        kix, kiy, kiz = n1 * k0 * rays.L, n1 * k0 * rays.M, n1 * k0 * rays.N
+        ki_dot_n = kix * nx + kiy * ny + kiz * nz
+        kpx = kix - ki_dot_n * nx + Gx
+        kpy = kiy - ki_dot_n * ny + Gy
+        kpz = kiz - ki_dot_n * nz + Gz
+        R_sq = (n2 * k0) ** 2 - (kpx**2 + kpy**2 + kpz**2)
+        evanescent = R_sq < 0
+        rays = R.clip(rays, evanescent)
+        alpha = jnp.sqrt(jnp.maximum(R_sq, 0.0))
+        if spec.is_reflective:
+            alpha = -alpha
+        kox = kpx + alpha * nx
+        koy = kpy + alpha * ny
+        koz = kpz + alpha * nz
+        mag = jnp.sqrt(kox**2 + koy**2 + koz**2)
+        rays = rays.replace(L=kox / mag, M=koy / mag, N=koz / mag,
+                            opd=rays.opd - phase_val / k0,
+                            intensity=rays.intensity * prof.efficiency)
     else:
         raise ValueError(f"unknown interaction {spec.interaction}")
 
@@ -157,7 +197,7 @@ def trace_surface(model: OpticModel, params, k: int, rays: R.Rays,
 
 
 def trace_system(model: OpticModel, params, rays: R.Rays, record: bool = False,
-                 skip: int = 0):
+                 skip: int = 0, key=None, wl_scalar=None):
     """Sequentially trace rays through all surfaces
     (reference surfaces/surface_group.py:232-244).
 
@@ -166,8 +206,18 @@ def trace_system(model: OpticModel, params, rays: R.Rays, record: bool = False,
     """
     positions = positions_from_params(params)
     history = [rays] if record else None
+    needs_key = any(s.bsdf is not None for s in model.surfaces)
+    if needs_key and key is None:
+        import jax
+        key = jax.random.PRNGKey(0)
+    keys = None
+    if needs_key:
+        import jax
+        keys = jax.random.split(key, model.num_surfaces)
     for k in range(max(1, skip), model.num_surfaces):
-        rays = trace_surface(model, params, k, rays, positions)
+        rays = trace_surface(model, params, k, rays, positions,
+                             key=None if keys is None else keys[k],
+                             wl_scalar=wl_scalar)
         if record:
             history.append(rays)
     if record:
@@ -204,7 +254,9 @@ def trace(model: OpticModel, params, Hx, Hy, wavelength, Px, Py,
                          wavelength, apodization=apodization,
                          polarized=(model.polarization != "ignore"))
     launch = rays
-    rays, history = trace_system(model, params, rays, record=record)
+    wl_scalar = wavelength if jnp.ndim(wavelength) == 0 else None
+    rays, history = trace_system(model, params, rays, record=record,
+                                 wl_scalar=wl_scalar)
     rays = _final_image_propagation(model, params, rays)
     rays = _finalize_polarization(model, rays, launch)
     return (rays, history) if record else rays
@@ -236,7 +288,9 @@ def trace_generic(model: OpticModel, params, Hx, Hy, Px, Py, wavelength,
     rays = generate_rays(model, params, Hx, Hy, Px, Py, wavelength,
                          polarized=(model.polarization != "ignore"))
     launch = rays
-    rays, history = trace_system(model, params, rays, record=record)
+    wl_scalar = wavelength if jnp.ndim(wavelength) == 0 else None
+    rays, history = trace_system(model, params, rays, record=record,
+                                 wl_scalar=wl_scalar)
     rays = _final_image_propagation(model, params, rays)
     rays = _finalize_polarization(model, rays, launch)
     return (rays, history) if record else rays

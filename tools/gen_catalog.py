@@ -39,6 +39,10 @@ GLASSES = [
     ("SF5", "schott"), ("SF11", "schott"), ("BK7", "schott"),
     ("SF10", "schott"), ("LASF44", "schott"), ("BAF10", "schott"),
     ("FUSED SILICA", None), ("PMMA", None), ("POLYCARB", None),
+    ("N-LAK9", None), ("N-SF2", None), ("S-LAH64", None), ("N-LASF9", None),
+    ("N-PK52A", None), ("N-BAF10", None), ("N-SF57", None), ("N-SF6", None),
+    ("N-LAK22", None), ("SF6", "schott"), ("SF57", "schott"),
+    ("N-FK58", None), ("N-PSK53A", None), ("N-LASF44", None),
 ]
 
 
