@@ -16,7 +16,7 @@ import time
 
 import numpy as np
 
-N_RAYS = 1_000_000
+N_RAYS = 4_000_000
 N_SURFACES_TRACED = 7  # 6 lens surfaces + image plane (object is a no-op)
 REFERENCE_RAY_SURFACES_PER_S = 150e6  # reference README.md:120 (GPU)
 
@@ -41,10 +41,19 @@ def main():
     Py = jnp.asarray(r * np.sin(th), dt)
     zeros = jnp.zeros_like(Px)
 
+    from optiland_pr_tpu.kernels import (pallas_trace_conic, supports_model,
+                                         model_flags)
+    use_pallas = supports_model(model) and jax.devices()[0].platform != "cpu"
+    flags = model_flags(model, params) if use_pallas else None
+
     @jax.jit
     def trace(params, Px, Py):
         rays = generate_rays(model, params, zeros, zeros, Px, Py, 0.55)
-        rays, _ = real_trace.trace_system(model, params, rays)
+        if use_pallas:
+            rays = pallas_trace_conic(model, params, rays, 0.55, flags=flags)
+        else:
+            rays, _ = real_trace.trace_system(model, params, rays,
+                                              wl_scalar=0.55)
         rays = real_trace._final_image_propagation(model, params, rays)
         # small reduction so nothing is dead-code-eliminated and only scalars
         # cross back over the wire

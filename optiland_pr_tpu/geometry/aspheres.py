@@ -229,12 +229,15 @@ class ChebyshevSag(Geometry):
         ty = _chebyshev_t(self.num_y, v)
         dtx = _chebyshev_dt(self.num_x, u)
         dty = _chebyshev_dt(self.num_y, v)
+        # NOTE: matches the reference exactly (geometries/chebyshev.py
+        # _surface_normal), which evaluates T' at the *normalized* coordinate
+        # without the 1/norm chain-rule factor.
         for i in range(self.num_x):
             for j in range(self.num_y):
                 if i > 0:
-                    dfdx = dfdx + c[i, j] * dtx[i] * ty[j] / p["norm_x"]
+                    dfdx = dfdx + c[i, j] * dtx[i] * ty[j]
                 if j > 0:
-                    dfdy = dfdy + c[i, j] * tx[i] * dty[j] / p["norm_y"]
+                    dfdy = dfdy + c[i, j] * tx[i] * dty[j]
         return dfdx, dfdy
 
 

@@ -1,3 +1,5 @@
-from .pallas_trace import pallas_trace_conic, pack_surface_constants, supports_model
+from .pallas_trace import (pallas_trace_conic, pack_surface_constants,
+                           supports_model, model_flags)
 
-__all__ = ["pallas_trace_conic", "pack_surface_constants", "supports_model"]
+__all__ = ["pallas_trace_conic", "pack_surface_constants", "supports_model",
+           "model_flags"]

@@ -25,7 +25,8 @@ import numpy as np
 
 from ..system.model import OpticModel, positions_from_params
 
-__all__ = ["pack_surface_constants", "pallas_trace_conic", "supports_model"]
+__all__ = ["pack_surface_constants", "pallas_trace_conic", "supports_model",
+           "model_flags"]
 
 _EPS = 1e-14
 
@@ -82,81 +83,102 @@ def pack_surface_constants(model: OpticModel, params, wavelength) -> jnp.ndarray
     return jnp.stack(rows).astype(jnp.float32)
 
 
-def _surface_step(c, x, y, z, L, M, N, inten, opd):
-    """One conic surface interaction; all elementwise VPU ops."""
-    radius_inv, conic, pos_z, n1, n2, is_plane, is_refl, alpha = (
+def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
+                  is_refl: bool, absorbing: bool):
+    """One conic surface interaction; all elementwise VPU ops.
+
+    is_plane/is_refl/absorbing are STATIC (baked from the model at build):
+    the unrolled loop emits only the ops each surface actually needs.
+    """
+    radius_inv, conic, pos_z, n1, n2, _, _, alpha = (
         c[0], c[1], c[2], c[3], c[4], c[5], c[6], c[7])
 
     z = z - pos_z
 
     # ---- intersection (reference geometries/standard.py:89-140, with the
     # curvature form: multiply through by radius_inv to avoid inf radius) ----
-    # plane: t = -z / N
-    t_plane = -z / jnp.where(jnp.abs(N) > _EPS, N, _EPS)
-    # conic quadratic in curvature form: a c t^2 ... (scaled by radius_inv)
-    a = (conic * N * N + L * L + M * M + N * N) * radius_inv
-    b = 2.0 * (conic * N * z + L * x + M * y + N * z) * radius_inv - 2.0 * N
-    cc = (conic * z * z + x * x + y * y + z * z) * radius_inv - 2.0 * z
-    disc = b * b - 4.0 * a * cc
-    ok = disc >= 0
-    sq = jnp.sqrt(jnp.where(ok, disc, 1.0))
-    a_safe = jnp.where(jnp.abs(a) > _EPS, a, _EPS)
-    t1 = (-b + sq) / (2.0 * a_safe)
-    t2 = (-b - sq) / (2.0 * a_safe)
-    z1 = z + t1 * N
-    z2 = z + t2 * N
-    t_conic = jnp.where(jnp.abs(z1) <= jnp.abs(z2), t1, t2)
-    t_conic = jnp.where(a == 0, -cc / jnp.where(jnp.abs(b) > _EPS, b, _EPS),
-                        t_conic)
-    t_conic = jnp.where(ok, t_conic, jnp.nan)
-    t = jnp.where(is_plane > 0, t_plane, t_conic)
+    if is_plane:
+        t = -z / N
+    else:
+        a = (conic * N * N + 1.0) * radius_inv
+        b = 2.0 * ((conic * N * z + L * x + M * y + N * z) * radius_inv - N)
+        cc = (conic * z * z + x * x + y * y + z * z) * radius_inv - 2.0 * z
+        disc = b * b - 4.0 * a * cc
+        ok = disc >= 0
+        sq = jnp.sqrt(jnp.where(ok, disc, 1.0))
+        inv_2a = 0.5 / jnp.where(jnp.abs(a) > _EPS, a, _EPS)
+        t1 = (-b + sq) * inv_2a
+        t2 = (-b - sq) * inv_2a
+        z1 = z + t1 * N
+        z2 = z + t2 * N
+        t = jnp.where(jnp.abs(z1) <= jnp.abs(z2), t1, t2)
+        t = jnp.where(ok, t, jnp.nan)
 
     # ---- propagate + OPD + absorption -----------------------------------
     x = x + t * L
     y = y + t * M
     z = z + t * N
     opd = opd + jnp.abs(t * n1)
-    inten = inten * jnp.exp(-alpha * t * 1e3)
+    if absorbing:
+        inten = inten * jnp.exp(-alpha * t * 1e3)
 
-    # ---- normal (curvature form: dfdx = x * ci / sqrt(1-(1+k) ci^2 r^2)) --
-    r2 = x * x + y * y
-    arg = 1.0 - (1.0 + conic) * radius_inv * radius_inv * r2
-    ok_n = arg >= 0
-    root = jnp.sqrt(jnp.where(ok_n, arg, 1.0))
-    denom = jnp.where(jnp.abs(root) > _EPS, root, _EPS)
-    dfdx = jnp.where(is_plane > 0, 0.0, x * radius_inv / denom)
-    dfdy = jnp.where(is_plane > 0, 0.0, y * radius_inv / denom)
-    mag = jnp.sqrt(dfdx * dfdx + dfdy * dfdy + 1.0)
-    nx = dfdx / mag
-    ny = dfdy / mag
-    nz = -1.0 / mag
+    if is_plane and not is_refl:
+        # flat interface: direction unchanged only if n1 == n2; apply Snell
+        # with normal (0, 0, 1)
+        dot = jnp.abs(N)
+        u = n1 / n2
+        disc_r = 1.0 - u * u * (1.0 - dot * dot)
+        ok_r = disc_r >= 0
+        root_r = jnp.where(ok_r, jnp.sqrt(jnp.where(ok_r, disc_r, 1.0)),
+                           jnp.nan)
+        sgnN = jnp.sign(N)
+        L = u * L
+        M = u * M
+        N = sgnN * root_r
+    else:
+        # ---- normal (dfdx = x * ci / sqrt(1-(1+k) ci^2 r^2)) -------------
+        r2 = x * x + y * y
+        arg = 1.0 - (1.0 + conic) * radius_inv * radius_inv * r2
+        root = jnp.sqrt(jnp.where(arg >= 0, arg, 1.0))
+        inv_root = 1.0 / jnp.where(jnp.abs(root) > _EPS, root, _EPS)
+        dfdx = x * radius_inv * inv_root
+        dfdy = y * radius_inv * inv_root
+        if is_plane:
+            dfdx = jnp.zeros_like(x)
+            dfdy = jnp.zeros_like(y)
+        inv_mag = jax.lax.rsqrt(dfdx * dfdx + dfdy * dfdy + 1.0)
+        nx = dfdx * inv_mag
+        ny = dfdy * inv_mag
+        nz = -inv_mag
 
-    # ---- align + refract/reflect (reference rays/real_rays.py:141-181) ---
-    dot = L * nx + M * ny + N * nz
-    sgn = jnp.sign(dot)
-    nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
-    dot = jnp.abs(dot)
+        # ---- align + refract/reflect (reference rays/real_rays.py:141-181)
+        dot = L * nx + M * ny + N * nz
+        sgn = jnp.sign(dot)
+        nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
+        dot = jnp.abs(dot)
 
-    u = n1 / n2
-    disc_r = 1.0 - u * u * (1.0 - dot * dot)
-    ok_r = disc_r >= 0
-    root_r = jnp.where(ok_r, jnp.sqrt(jnp.where(ok_r, disc_r, 1.0)), jnp.nan)
-    Lr = u * L + nx * root_r - u * nx * dot
-    Mr = u * M + ny * root_r - u * ny * dot
-    Nr = u * N + nz * root_r - u * nz * dot
-    Lm = L - 2.0 * dot * nx
-    Mm = M - 2.0 * dot * ny
-    Nm = N - 2.0 * dot * nz
-    L = jnp.where(is_refl > 0, Lm, Lr)
-    M = jnp.where(is_refl > 0, Mm, Mr)
-    N = jnp.where(is_refl > 0, Nm, Nr)
+        if is_refl:
+            two_dot = 2.0 * dot
+            L = L - two_dot * nx
+            M = M - two_dot * ny
+            N = N - two_dot * nz
+        else:
+            u = n1 / n2
+            disc_r = 1.0 - u * u * (1.0 - dot * dot)
+            ok_r = disc_r >= 0
+            root_r = jnp.where(ok_r, jnp.sqrt(jnp.where(ok_r, disc_r, 1.0)),
+                               jnp.nan)
+            w = root_r - u * dot
+            L = u * L + nx * w
+            M = u * M + ny * w
+            N = u * N + nz * w
 
     z = z + pos_z
     return x, y, z, L, M, N, inten, opd
 
 
 def _kernel(consts_ref, x_ref, y_ref, z_ref, l_ref, m_ref, n_ref, i_ref,
-            o_ref, xo, yo, zo, lo, mo, no, io, oo, *, num_surfaces: int):
+            o_ref, xo, yo, zo, lo, mo, no, io, oo, *, flags: tuple):
     x = x_ref[:]
     y = y_ref[:]
     z = z_ref[:]
@@ -165,10 +187,11 @@ def _kernel(consts_ref, x_ref, y_ref, z_ref, l_ref, m_ref, n_ref, i_ref,
     N = n_ref[:]
     inten = i_ref[:]
     opd = o_ref[:]
-    for k in range(num_surfaces - 1):
+    for k, (is_plane, is_refl, absorbing) in enumerate(flags):
         c = consts_ref[k, :]
         x, y, z, L, M, N, inten, opd = _surface_step(
-            c, x, y, z, L, M, N, inten, opd)
+            c, x, y, z, L, M, N, inten, opd, is_plane=is_plane,
+            is_refl=is_refl, absorbing=absorbing)
     xo[:] = x
     yo[:] = y
     zo[:] = z
@@ -179,9 +202,24 @@ def _kernel(consts_ref, x_ref, y_ref, z_ref, l_ref, m_ref, n_ref, i_ref,
     oo[:] = opd
 
 
-@functools.partial(jax.jit, static_argnames=("num_surfaces", "block_rows"))
+def model_flags(model: OpticModel, params) -> tuple:
+    """Static per-surface (is_plane, is_reflective, absorbing) flags."""
+    import numpy as np
+    flags = []
+    for k in range(1, model.num_surfaces):
+        spec = model.surfaces[k]
+        sp = params["surfaces"][k]
+        is_plane = bool(np.isinf(np.asarray(sp["geom"].get("radius",
+                                                           np.inf))))
+        pre = model.surfaces[k - 1]
+        absorbing = model.surfaces[pre.material_src].material.absorbing
+        flags.append((is_plane, spec.is_reflective, absorbing))
+    return tuple(flags)
+
+
+@functools.partial(jax.jit, static_argnames=("flags", "block_rows"))
 def _pallas_call_2d(consts, x, y, z, L, M, N, inten, opd,
-                    num_surfaces: int, block_rows: int):
+                    flags: tuple, block_rows: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -189,10 +227,10 @@ def _pallas_call_2d(consts, x, y, z, L, M, N, inten, opd,
     grid = (rows // block_rows,)
     ray_spec = pl.BlockSpec((block_rows, lanes), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    const_spec = pl.BlockSpec((num_surfaces - 1, 8), lambda i: (0, 0),
+    const_spec = pl.BlockSpec((len(flags), 8), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct(x.shape, x.dtype)] * 8
-    kernel = functools.partial(_kernel, num_surfaces=num_surfaces)
+    kernel = functools.partial(_kernel, flags=flags)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -203,14 +241,19 @@ def _pallas_call_2d(consts, x, y, z, L, M, N, inten, opd,
 
 
 def pallas_trace_conic(model: OpticModel, params, rays, wavelength,
-                       block_rows: int = 256):
+                       block_rows: int = 256, flags: tuple | None = None):
     """Trace a ray bundle through an all-conic system with the fused kernel.
 
     Returns a Rays pytree with the final state (positions at the image
     surface, before the final image-thickness propagation).
+
+    ``flags``: static per-surface specialization (from ``model_flags``). Must
+    be precomputed (outside jit) when this function is called under jit.
     """
     assert supports_model(model), "model not supported by the fused kernel"
     consts = pack_surface_constants(model, params, wavelength)
+    if flags is None:
+        flags = model_flags(model, params)
 
     n = rays.x.shape[-1]
     lanes = 128
@@ -225,8 +268,7 @@ def pallas_trace_conic(model: OpticModel, params, rays, wavelength,
 
     args = [shape(v) for v in (rays.x, rays.y, rays.z, rays.L, rays.M,
                                rays.N, rays.intensity, rays.opd)]
-    out = _pallas_call_2d(consts, *args, num_surfaces=model.num_surfaces,
-                          block_rows=block_rows)
+    out = _pallas_call_2d(consts, *args, flags=flags, block_rows=block_rows)
     x, y, z, L, M, N, inten, opd = [o.reshape(-1)[:n] for o in out]
     return rays.replace(x=x, y=y, z=z, L=L, M=M, N=N, intensity=inten,
                         opd=opd)

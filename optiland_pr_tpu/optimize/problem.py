@@ -134,8 +134,14 @@ class OptimizationProblem:
         return jnp.sqrt(self.sum_squared(params))
 
     def merit_of_vector(self, x):
-        """Merit as a pure function of the scaled variable vector."""
+        """Merit as a pure function of the scaled variable vector. Pickups and
+        solves re-resolve inside the merit (reference problem.update_optics ->
+        optic.update), so their effect is differentiable."""
         params = self.variables.apply(self.params, x)
+        if getattr(self.optic, "constraints", None):
+            from ..system.constraints import apply_constraints
+            params = apply_constraints(self.model, params,
+                                       self.optic.constraints)
         return self.sum_squared(params)
 
     @property

@@ -92,6 +92,7 @@ class Optic:
         self.primary_wavelength_idx: int = 0
         self.polarization = "ignore"
         self.obj_space_telecentric = False
+        self.constraints: list = []     # pickups + solves (param transforms)
         self._cache = None
         self._jit_cache: dict = {}
 
@@ -149,6 +150,30 @@ class Optic:
 
     def set_polarization(self, state):
         self.polarization = state
+        self._dirty()
+
+    def add_pickup(self, source_surface_idx, attr_type, target_surface_idx,
+                   scale=1.0, offset=0.0):
+        """Reference pickup.py:39-64 API."""
+        from .constraints import Pickup
+        self.constraints.append(Pickup(source_surface_idx, attr_type,
+                                       target_surface_idx, scale, offset))
+        self._dirty()
+
+    def add_solve(self, solve_type, surface_idx=None, height=0.0, **kw):
+        """Reference solves/factory.py API: marginal_ray_height,
+        chief_ray_height, quick_focus."""
+        from .constraints import (ChiefRayHeightSolve, MarginalRayHeightSolve,
+                                  QuickFocusSolve)
+        if solve_type == "marginal_ray_height":
+            c = MarginalRayHeightSolve(surface_idx, height)
+        elif solve_type == "chief_ray_height":
+            c = ChiefRayHeightSolve(surface_idx, height)
+        elif solve_type == "quick_focus":
+            c = QuickFocusSolve(**kw)
+        else:
+            raise ValueError(f"unknown solve type {solve_type}")
+        self.constraints.append(c)
         self._dirty()
 
     # ------------------------------------------------------------------
@@ -267,6 +292,9 @@ class Optic:
             "vig": vig,
             "wavelengths": jnp.asarray(self.wavelengths or [0.55], dt),
         }
+        if self.constraints:
+            from .constraints import apply_constraints
+            params = apply_constraints(model, params, self.constraints)
         self._cache = (model, params)
         return self._cache
 
