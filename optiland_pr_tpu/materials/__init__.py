@@ -2,7 +2,14 @@ from .base import (AIR, MIRROR, AbbeMaterial, FormulaMaterial, IdealMaterial,
                    MaterialModel, Mirror, TabulatedMaterial)
 from .catalog import catalog_names, glass, resolve_material
 from .dispersion import evaluate_formula, nair_edlen
+from .environment import (EnvironmentalConditions, air_index,
+                          ciddor_refractive_index, edlen_refractive_index,
+                          birch_downs_refractive_index,
+                          kohlrausch_refractive_index)
 
 __all__ = ["AIR", "MIRROR", "AbbeMaterial", "FormulaMaterial", "IdealMaterial",
            "MaterialModel", "Mirror", "TabulatedMaterial", "catalog_names",
-           "glass", "resolve_material", "evaluate_formula", "nair_edlen"]
+           "glass", "resolve_material", "evaluate_formula", "nair_edlen",
+           "EnvironmentalConditions", "air_index", "ciddor_refractive_index",
+           "edlen_refractive_index", "birch_downs_refractive_index",
+           "kohlrausch_refractive_index"]
