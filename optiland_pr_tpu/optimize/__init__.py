@@ -7,6 +7,8 @@ from .optimizers import (OptimizerGeneric, LeastSquares, DualAnnealing,
                          OptimizationResult)
 from .scaling import (IdentityScaler, LinearScaler, LogScaler, PowScaler,
                       ReciprocalScaler, get_scaler)
+from .glass_expert import GlassExpert
+from .ml import OpticalSystemModule, make_loss_fn
 
 __all__ = ["OptimizationProblem", "Operand", "Variable", "VariableList",
            "make_variable", "METRIC_DICT", "operand_registry",
@@ -14,4 +16,5 @@ __all__ = ["OptimizationProblem", "Operand", "Variable", "VariableList",
            "DualAnnealing", "DifferentialEvolution", "BasinHopping", "SHGO",
            "OptaxOptimizer", "OptimizerAdam", "OptimizerSGD",
            "OptimizationResult", "IdentityScaler", "LinearScaler", "LogScaler",
-           "PowScaler", "ReciprocalScaler", "get_scaler"]
+           "PowScaler", "ReciprocalScaler", "get_scaler", "GlassExpert",
+           "OpticalSystemModule", "make_loss_fn"]
