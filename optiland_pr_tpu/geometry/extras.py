@@ -195,13 +195,17 @@ class PlaneGrating(StandardGrating):
 
 
 class FresnelZoneSag(Geometry):
-    """True Fresnel-lens zone sag (NEW; beyond the reference, which uses an
+    """True Fresnel-lens zone surface (NEW; beyond the reference, which uses an
     equivalent refractive surface for its solar-concentrator examples).
 
     The parent conic profile is collapsed into annular zones of fixed depth
-    ``zone_depth``: z(r) = conic_sag(r) mod zone_depth. Facet normals follow
-    the parent profile (the optically active slope), which is the standard
-    thin-Fresnel idealization; draft facets are ignored.
+    ``zone_depth``: z(r) = conic_sag(r) mod zone_depth. Tracing uses the
+    standard thin-Fresnel idealization: rays intersect the base plane z = 0
+    (the collapsed surface is optically thin — zone_depth << aperture), then
+    refract with the PARENT profile's slope, which is what the molded facets
+    realize. The zoned ``sag`` is exact for rendering/metrology; facet-height
+    parallax (<= zone_depth) and draft-facet shadowing are neglected, the
+    universal thin-Fresnel approximation.
     """
 
     kind = "fresnel_zone"
@@ -221,3 +225,65 @@ class FresnelZoneSag(Geometry):
     def sag_grad(self, p, x, y):
         # slope of the active facet = slope of the parent profile
         return _conic_sag_grad(p["radius"], p["conic"], x, y)
+
+    def distance(self, p, x, y, z, L, M, N):
+        # thin-Fresnel: the collapsed surface sits at its base plane
+        return safe_div(-z, N)
+
+
+class FresnelDesignedSag(Geometry):
+    """Flat Fresnel lens with facet angles DESIGNED for the flat geometry
+    (NEW capability).
+
+    Collapsing a solid-lens profile onto a plane shifts its focus (the sag
+    that made the solid surface stigmatic is gone), so real molded Fresnel
+    lenses choose each zone's facet angle to aim the refracted ray at the
+    focus from the flat plane. For a glass(n)->air exit facet and collimated
+    input the exact facet slope is
+
+        dz/dr = -sin(theta) / (n_design - cos(theta)),
+        tan(theta) = r / f    (theta = required bend toward the focus)
+
+    Params: ``focal_length``, ``n_design`` (the index the zones were cut
+    for), plus radius/conic (inf/0) for the paraxial interface. Tracing uses
+    the thin-surface idealization (base plane + designed facet slope).
+    """
+
+    kind = "fresnel_designed"
+    is_symmetric = True
+
+    def default_params(self, radius=None, conic=0.0, focal_length=100.0,
+                       n_design=1.5, zone_depth=1.0, **kw):
+        dt = default_float()
+        if radius is None or (isinstance(radius, float) and
+                              not jnp.isfinite(radius)):
+            # paraxial-equivalent radius so first-order properties (f2, EPL,
+            # ray aiming) see the lens power: phi = (1 - n)/R = 1/f
+            radius = -(n_design - 1.0) * focal_length
+        return {"radius": jnp.asarray(radius, dt),
+                "conic": jnp.asarray(conic, dt),
+                "focal_length": jnp.asarray(focal_length, dt),
+                "n_design": jnp.asarray(n_design, dt),
+                "zone_depth": jnp.asarray(zone_depth, dt)}
+
+    def _slope(self, p, r):
+        f = p["focal_length"]
+        n = p["n_design"]
+        hyp = jnp.sqrt(r**2 + f**2)
+        sin_t = r / hyp
+        cos_t = f / hyp
+        return -sin_t / (n - cos_t)
+
+    def sag(self, p, x, y):
+        # thin surface: optical sag ~ 0 (zones are rendered via zone_depth
+        # in visualization only)
+        return jnp.zeros_like(x + y)
+
+    def sag_grad(self, p, x, y):
+        r = jnp.sqrt(x**2 + y**2)
+        r_safe = jnp.maximum(r, 1e-12)
+        m = self._slope(p, r)
+        return m * x / r_safe, m * y / r_safe
+
+    def distance(self, p, x, y, z, L, M, N):
+        return safe_div(-z, N)

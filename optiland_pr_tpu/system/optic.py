@@ -15,8 +15,8 @@ from ..config import default_float
 from ..core.distributions import generate_distribution
 from ..geometry import (Biconic, ChebyshevSag, EvenAsphere, OddAsphere, Plane,
                         PolynomialXY, StandardGeometry, Toroidal)
-from ..geometry.extras import (FresnelZoneSag, GridSag, PlaneGrating,
-                               StandardGrating, ZernikeSag)
+from ..geometry.extras import (FresnelDesignedSag, FresnelZoneSag, GridSag,
+                               PlaneGrating, StandardGrating, ZernikeSag)
 from ..geometry.forbes import ForbesQbfs
 from ..materials import resolve_material
 from ..materials.base import Mirror
@@ -46,6 +46,7 @@ _GEOMETRY_BUILDERS = {
     "plane_grating": lambda kw: PlaneGrating(),
     "grating": lambda kw: StandardGrating(),
     "fresnel_zone": lambda kw: FresnelZoneSag(),
+    "fresnel_designed": lambda kw: FresnelDesignedSag(),
     "forbes_qbfs": lambda kw: ForbesQbfs(
         len(kw.get("coefficients") or [])
         or (max(kw.get("radial_terms", {0: 0}).keys()) + 1)),
