@@ -7,6 +7,7 @@ from .misc import (RayFan, Distortion, GridDistortion, FieldCurvature, YYbar,
                    PupilAberration, RmsSpotSizeVsField,
                    RmsWavefrontErrorVsField, ThroughFocusSpotDiagram)
 from .irradiance import IncoherentIrradiance, RadiantIntensity, irradiance_histogram
+from .psf_mtf_extra import MMDFTPSF, SampledMTF, HuygensMTF, ThroughFocusMTF
 
 __all__ = ["SpotData", "SpotDiagram", "spot_diagram", "encircled_energy",
            "Wavefront", "WavefrontData", "OPD", "ZernikeOPD", "wavefront_data",
@@ -14,4 +15,5 @@ __all__ = ["SpotData", "SpotDiagram", "spot_diagram", "encircled_energy",
            "FFTMTF", "GeometricMTF", "RayFan", "Distortion", "GridDistortion",
            "FieldCurvature", "YYbar", "PupilAberration", "RmsSpotSizeVsField",
            "RmsWavefrontErrorVsField", "ThroughFocusSpotDiagram",
-           "IncoherentIrradiance", "RadiantIntensity", "irradiance_histogram"]
+           "IncoherentIrradiance", "RadiantIntensity", "irradiance_histogram",
+           "MMDFTPSF", "SampledMTF", "HuygensMTF", "ThroughFocusMTF"]
