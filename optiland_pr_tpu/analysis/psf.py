@@ -154,28 +154,28 @@ class HuygensPSF:
         self.x_grid, self.y_grid = xs, ys
 
     def _sum(self, rays, xs, ys):
+        """Direct diffraction-integral summation via the chunked XLA reducer
+        (kernels/huygens.py), or the fused Pallas kernel on TPU."""
+        import jax
+        from ..kernels.huygens import huygens_sum_pallas, huygens_sum_xla
         k = 2 * jnp.pi / (self.wavelength * 1e-3)
-        zi = 0.0  # rays are already at the image plane; use plane z of rays
-        # Distance from each ray's (pre-image) wavefront point to each image
-        # point: propagate rays back a fixed distance so spherical wavelets
-        # expand forward.
+        # Back-propagate rays off the image plane so spherical wavelets
+        # expand forward toward every image point.
         back = 10.0 * jnp.max(jnp.abs(rays.z - jnp.mean(rays.z)) + 1.0)
         x0 = rays.x - back * rays.L
         y0 = rays.y - back * rays.M
         z0 = rays.z - back * rays.N
         opl0 = rays.opd - back  # in air (n=1 image space assumed)
+        amp = jnp.sqrt(jnp.maximum(rays.intensity, 0.0))
 
         X, Y = jnp.meshgrid(xs, ys, indexing="xy")
-        pts = jnp.stack([X.ravel(), Y.ravel()], axis=1)  # [I, 2]
+        ix = X.ravel()
+        iy = Y.ravel()
+        iz = jnp.broadcast_to(jnp.mean(rays.z), ix.shape)
 
-        dx = pts[:, 0][:, None] - x0[None, :]
-        dy = pts[:, 1][:, None] - y0[None, :]
-        dz = jnp.mean(rays.z) - z0[None, :]
-        r = jnp.sqrt(dx**2 + dy**2 + dz**2)
-        phase = k * (opl0[None, :] + r)
-        amp = jnp.sqrt(jnp.maximum(rays.intensity, 0.0))[None, :]
-        field = jnp.sum(amp * jnp.exp(1j * phase), axis=1)
-        psf = jnp.abs(field) ** 2
+        use_pallas = jax.devices()[0].platform not in ("cpu",)
+        fn = huygens_sum_pallas if use_pallas else huygens_sum_xla
+        psf = fn(x0, y0, z0, opl0, amp, ix, iy, iz, k)
         psf = psf / jnp.max(psf)
         return psf.reshape(ys.shape[0], xs.shape[0])
 

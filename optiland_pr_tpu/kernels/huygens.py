@@ -1,0 +1,126 @@
+"""Pallas kernel for the Huygens-Fresnel diffraction integral.
+
+Reference: optiland/psf/huygens_fresnel_strategies.py:64-173 — the reference's
+ONLY JIT kernel (numba ``@njit(parallel=True, fastmath=True)`` over image
+pixels) with a batched-torch alternative.
+
+TPU design: the O(pixels x pupil) summation tiles the image axis over the
+grid; each kernel instance holds its pixel tile's accumulators in VMEM and
+loops over pupil-point chunks (also VMEM-resident), so HBM traffic is
+O(pixels + pupil) instead of O(pixels x pupil). All VPU elementwise math
+(sqrt, sin/cos) at f32.
+
+An XLA fallback (`huygens_sum_xla`) chunked with `lax.map` serves CPU runs and
+correctness A/B checks.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["huygens_sum_xla", "huygens_sum_pallas"]
+
+
+def huygens_sum_xla(px, py, pz, opl, amp, ix, iy, iz, k, chunk: int = 4096):
+    """E(image) = sum_pupil amp * exp(i k (opl + |r_img - r_pupil|)).
+
+    px/py/pz/opl/amp: [P] pupil-point state; ix/iy/iz: [I] image points;
+    returns |E|^2 [I]. Chunked over the image axis with lax.map.
+    """
+    n = ix.shape[0]
+    pad = (-n) % chunk
+    ixp = jnp.pad(ix, (0, pad))
+    iyp = jnp.pad(iy, (0, pad))
+    izp = jnp.pad(iz, (0, pad))
+    tiles = ixp.reshape(-1, chunk), iyp.reshape(-1, chunk), \
+        izp.reshape(-1, chunk)
+
+    def one_tile(t):
+        tx, ty, tz = t
+        dx = tx[:, None] - px[None, :]
+        dy = ty[:, None] - py[None, :]
+        dz = tz[:, None] - pz[None, :]
+        r = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        phase = k * (opl[None, :] + r)
+        re = jnp.sum(amp[None, :] * jnp.cos(phase), axis=1)
+        im = jnp.sum(amp[None, :] * jnp.sin(phase), axis=1)
+        return re * re + im * im
+
+    out = jax.lax.map(one_tile, tiles)
+    return out.reshape(-1)[:n]
+
+
+def _kernel(pup_ref, img_ref, out_ref, *, n_pupil_chunks: int,
+            chunk: int, k: float):
+    """One image tile: loop pupil chunks, accumulate the complex field."""
+    tx = img_ref[0, :]
+    ty = img_ref[1, :]
+    tz = img_ref[2, :]
+    re = jnp.zeros_like(tx)
+    im = jnp.zeros_like(tx)
+
+    def body(c, carry):
+        re, im = carry
+        base = c * chunk
+
+        def inner(j, carry2):
+            re2, im2 = carry2
+            idx = base + j
+            px = pup_ref[0, idx]
+            py = pup_ref[1, idx]
+            pz = pup_ref[2, idx]
+            opl = pup_ref[3, idx]
+            amp = pup_ref[4, idx]
+            dx = tx - px
+            dy = ty - py
+            dz = tz - pz
+            r = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+            phase = k * (opl + r)
+            re2 = re2 + amp * jnp.cos(phase)
+            im2 = im2 + amp * jnp.sin(phase)
+            return re2, im2
+
+        return jax.lax.fori_loop(0, chunk, inner, (re, im))
+
+    re, im = jax.lax.fori_loop(0, n_pupil_chunks, body, (re, im))
+    out_ref[:] = re * re + im * im
+
+
+def huygens_sum_pallas(px, py, pz, opl, amp, ix, iy, iz, k,
+                       tile: int = 1024, chunk: int = 256):
+    """Pallas version of ``huygens_sum_xla`` (TPU only)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P = px.shape[0]
+    n = ix.shape[0]
+    p_pad = (-P) % chunk
+    pup = jnp.stack([jnp.pad(jnp.asarray(v, jnp.float32), (0, p_pad))
+                     for v in (px, py, pz, opl, amp)])
+    # padded pupil points get zero amplitude
+    if p_pad:
+        pup = pup.at[4, P:].set(0.0)
+    n_pad = (-n) % tile
+    img = jnp.stack([jnp.pad(jnp.asarray(v, jnp.float32), (0, n_pad))
+                     for v in (ix, iy, iz)])
+
+    grid = (img.shape[1] // tile,)
+    kernel = functools.partial(_kernel,
+                               n_pupil_chunks=pup.shape[1] // chunk,
+                               chunk=chunk, k=float(k))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((5, pup.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile,), lambda i: (i,),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((img.shape[1],), jnp.float32),
+    )(pup, img)
+    return out[:n]
