@@ -41,17 +41,19 @@ def main():
     Py = jnp.asarray(r * np.sin(th), dt)
     zeros = jnp.zeros_like(Px)
 
-    from optiland_pr_tpu.kernels import (pallas_trace_conic, supports_model,
-                                         model_flags)
+    from optiland_pr_tpu.kernels import (pallas_gen_trace_conic,
+                                         supports_model, model_flags)
     use_pallas = supports_model(model) and jax.devices()[0].platform != "cpu"
     flags = model_flags(model, params) if use_pallas else None
 
     @jax.jit
     def trace(params, Px, Py):
-        rays = generate_rays(model, params, zeros, zeros, Px, Py, 0.55)
         if use_pallas:
-            rays = pallas_trace_conic(model, params, rays, 0.55, flags=flags)
+            # fused generation + trace: HBM reads only the pupil samples
+            rays = pallas_gen_trace_conic(model, params, Px, Py, 0.55,
+                                          flags=flags)
         else:
+            rays = generate_rays(model, params, zeros, zeros, Px, Py, 0.55)
             rays, _ = real_trace.trace_system(model, params, rays,
                                               wl_scalar=0.55)
         rays = real_trace._final_image_propagation(model, params, rays)

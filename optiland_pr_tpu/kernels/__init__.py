@@ -1,5 +1,7 @@
-from .pallas_trace import (pallas_trace_conic, pack_surface_constants,
-                           supports_model, model_flags)
+from .pallas_trace import (pallas_trace_conic, pallas_gen_trace_conic,
+                           pack_surface_constants, supports_model, model_flags)
+from .huygens import huygens_sum_xla, huygens_sum_pallas
 
-__all__ = ["pallas_trace_conic", "pack_surface_constants", "supports_model",
-           "model_flags"]
+__all__ = ["pallas_trace_conic", "pallas_gen_trace_conic",
+           "pack_surface_constants", "supports_model", "model_flags",
+           "huygens_sum_xla", "huygens_sum_pallas"]

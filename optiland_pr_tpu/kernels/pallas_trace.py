@@ -240,6 +240,127 @@ def _pallas_call_2d(consts, x, y, z, L, M, N, inten, opd,
     )(consts, x, y, z, L, M, N, inten, opd)
 
 
+def _gen_kernel(gen_ref, consts_ref, px_ref, py_ref,
+                xo, yo, zo, lo, mo, no, io, oo, *, flags: tuple):
+    """Fused ray-generation + trace: inputs are just the pupil samples.
+
+    gen_ref row: [half_epd_vx, half_epd_vy, x_field, y_field, z0, epl]
+    (infinite-object angle-field aiming, reference rays/ray_generator.py:70-90).
+    """
+    Px = px_ref[:]
+    Py = py_ref[:]
+    half_epd_x = gen_ref[0, 0]
+    half_epd_y = gen_ref[0, 1]
+    x_field = gen_ref[0, 2]
+    y_field = gen_ref[0, 3]
+    z0s = gen_ref[0, 4]
+    epl = gen_ref[0, 5]
+
+    x = Px * half_epd_x + x_field
+    y = Py * half_epd_y + y_field
+    z = jnp.full_like(Px, z0s)
+    x1 = Px * half_epd_x
+    y1 = Py * half_epd_y
+    dxr = x1 - x
+    dyr = y1 - y
+    dzr = epl - z
+    inv_mag = jax.lax.rsqrt(dxr * dxr + dyr * dyr + dzr * dzr)
+    L = dxr * inv_mag
+    M = dyr * inv_mag
+    N = dzr * inv_mag
+    inten = jnp.ones_like(Px)
+    opd = jnp.zeros_like(Px)
+
+    for k, (is_plane, is_refl, absorbing) in enumerate(flags):
+        c = consts_ref[k, :]
+        x, y, z, L, M, N, inten, opd = _surface_step(
+            c, x, y, z, L, M, N, inten, opd, is_plane=is_plane,
+            is_refl=is_refl, absorbing=absorbing)
+    xo[:] = x
+    yo[:] = y
+    zo[:] = z
+    lo[:] = L
+    mo[:] = M
+    no[:] = N
+    io[:] = inten
+    oo[:] = opd
+
+
+@functools.partial(jax.jit, static_argnames=("flags", "block_rows"))
+def _pallas_gen_trace_2d(gen, consts, Px, Py, flags: tuple, block_rows: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    rows, lanes = Px.shape
+    grid = (rows // block_rows,)
+    ray_spec = pl.BlockSpec((block_rows, lanes), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    gen_spec = pl.BlockSpec((1, 8), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec((len(flags), 8), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct(Px.shape, Px.dtype)] * 8
+    kernel = functools.partial(_gen_kernel, flags=flags)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[gen_spec, const_spec, ray_spec, ray_spec],
+        out_specs=[ray_spec] * 8,
+        out_shape=out_shape,
+    )(gen, consts, Px, Py)
+
+
+def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
+                           Hx: float = 0.0, Hy: float = 0.0,
+                           block_rows: int = 256, flags: tuple | None = None):
+    """Fused generation + trace for infinite-object angle-field systems: the
+    kernel's only array inputs are the normalized pupil samples (8 bytes/ray
+    HBM read), everything else lives in VMEM."""
+    from ..trace.paraxial import Paraxial
+    from ..system.model import positions_from_params
+    from ..core.rays import Rays
+
+    assert supports_model(model)
+    assert model.field_type == "angle" and model._object_infinite
+    if flags is None:
+        flags = model_flags(model, params)
+    consts = pack_surface_constants(model, params, wavelength)
+
+    par = Paraxial(model, params)
+    pos = positions_from_params(params)
+    EPL = par.EPL()
+    EPD = par.EPD()
+    offset = EPD - jnp.min(pos[1:-1])
+    fields = params["fields"]
+    max_field = jnp.max(jnp.sqrt(jnp.sum(fields**2, axis=1)))
+    fx = jnp.deg2rad(max_field * Hx)
+    fy = jnp.deg2rad(max_field * Hy)
+    xf = -jnp.tan(fx) * (offset + EPL)
+    yf = -jnp.tan(fy) * (offset + EPL)
+    z0s = pos[1] - offset
+    gen = jnp.stack([EPD / 2, EPD / 2, xf, yf, z0s, EPL,
+                     jnp.zeros(()), jnp.zeros(())]).astype(jnp.float32)
+    gen = gen.reshape(1, 8)
+
+    n = Px.shape[-1]
+    lanes = 128
+    per_block = block_rows * lanes
+    n_pad = ((n + per_block - 1) // per_block) * per_block
+    rows = n_pad // lanes
+
+    def shape(a):
+        a = jnp.asarray(a, jnp.float32)
+        a = jnp.pad(a, (0, n_pad - n))
+        return a.reshape(rows, lanes)
+
+    out = _pallas_gen_trace_2d(gen, consts, shape(Px), shape(Py),
+                               flags=flags, block_rows=block_rows)
+    x, y, z, L, M, N, inten, opd = [o.reshape(-1)[:n] for o in out]
+    wl = jnp.full_like(x, jnp.asarray(wavelength, jnp.float32))
+    return Rays(x=x, y=y, z=z, L=L, M=M, N=N, intensity=inten,
+                wavelength=wl, opd=opd, p=None)
+
+
 def pallas_trace_conic(model: OpticModel, params, rays, wavelength,
                        block_rows: int = 256, flags: tuple | None = None):
     """Trace a ray bundle through an all-conic system with the fused kernel.

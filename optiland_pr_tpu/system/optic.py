@@ -153,6 +153,65 @@ class Optic:
         self.polarization = state
         self._dirty()
 
+    # -- prescription edit helpers (reference optic/optic_updater.py) ------
+    def set_radius(self, value, surface_number: int):
+        self._surfaces[surface_number]["radius"] = float(value)
+        self._surfaces[surface_number]["geom_kw"].pop("radius", None)
+        self._dirty()
+
+    def set_conic(self, value, surface_number: int):
+        self._surfaces[surface_number]["conic"] = float(value)
+        self._surfaces[surface_number]["geom_kw"].pop("conic", None)
+        self._dirty()
+
+    def set_thickness(self, value, surface_number: int):
+        self._surfaces[surface_number]["thickness"] = float(value)
+        self._dirty()
+
+    def set_material(self, material, surface_number: int):
+        self._surfaces[surface_number]["material"] = material
+        self._dirty()
+
+    def scale_system(self, scale_factor: float):
+        """Scale all lengths (radii/thicknesses/apertures) by ``scale_factor``
+        (reference optic_updater.scale_system)."""
+        import numpy as np
+        for e in self._surfaces:
+            if np.isfinite(float(np.asarray(e["radius"]))):
+                e["radius"] = float(e["radius"]) * scale_factor
+            if np.isfinite(float(np.asarray(e["thickness"]))):
+                e["thickness"] = float(e["thickness"]) * scale_factor
+            for key in ("coefficients",):
+                pass  # aspheric coefficients scale nontrivially; left to user
+        if self.ap_type == "EPD":
+            self.ap_value *= scale_factor
+        self._dirty()
+
+    def flip(self):
+        """Reverse the optical system (reference surface_group.flip:445-539):
+        inner surfaces reverse order, radii change sign, thicknesses shift
+        back by one surface, glasses follow their left interface."""
+        inner = self._surfaces[1:-1]
+        n = len(inner)
+        new_inner = []
+        for i in range(n - 1, -1, -1):
+            e = dict(inner[i])
+            e["geom_kw"] = dict(e["geom_kw"])
+            import numpy as np
+            r = float(np.asarray(e["radius"]))
+            e["radius"] = -r if np.isfinite(r) else r
+            # thickness after new surface j = thickness before old surface i
+            prev_idx = i - 1
+            e["thickness"] = float(inner[prev_idx]["thickness"])                 if prev_idx >= 0 else float(self._surfaces[-2]["thickness"])
+            # material after new surface = material before old surface
+            e["material"] = inner[i - 1]["material"] if i >= 1 else None
+            new_inner.append(e)
+        # the last new inner surface takes the original image distance
+        new_inner[-1]["thickness"] = float(inner[-1]["thickness"])
+        self._surfaces = ([self._surfaces[0]] + new_inner
+                          + [self._surfaces[-1]])
+        self._dirty()
+
     def add_pickup(self, source_surface_idx, attr_type, target_surface_idx,
                    scale=1.0, offset=0.0):
         """Reference pickup.py:39-64 API."""
