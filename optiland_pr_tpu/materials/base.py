@@ -42,16 +42,21 @@ class MaterialModel:
 
 
 class IdealMaterial(MaterialModel):
-    """Constant n, k (reference materials/ideal.py)."""
+    """Constant n, k (reference materials/ideal.py). Constructor defaults
+    mirror the reference API: ``IdealMaterial(n=4.002)``."""
 
     kind = "ideal"
 
-    def __init__(self, absorbing: bool = False):
-        self._absorbing = absorbing
+    def __init__(self, n: float = 1.0, k: float = 0.0,
+                 absorbing: bool | None = None):
+        self._n = n
+        self._k = k
+        self._absorbing = (k != 0.0) if absorbing is None else absorbing
 
-    def default_params(self, n=1.0, k=0.0, **kw) -> dict:
+    def default_params(self, n=None, k=None, **kw) -> dict:
         dt = default_float()
-        return {"n": jnp.asarray(n, dt), "k": jnp.asarray(k, dt)}
+        return {"n": jnp.asarray(self._n if n is None else n, dt),
+                "k": jnp.asarray(self._k if k is None else k, dt)}
 
     def n(self, p, wavelength_um):
         return p["n"] * jnp.ones_like(jnp.asarray(wavelength_um))

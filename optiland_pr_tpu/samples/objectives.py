@@ -130,47 +130,61 @@ def ReverseTelephoto() -> Optic:
 
 
 def TessarLens() -> Optic:
-    """Tessar objective (reference samples/objectives.py ObjectiveUS2598767
-    analogue: classic 4-element design)."""
+    """Tessar objective (reference samples/objectives.py, Laikin p. 63)."""
     lens = Optic(name="Tessar")
     lens.add_surface(index=0, radius=jnp.inf, thickness=jnp.inf)
-    lens.add_surface(index=1, radius=1.628, thickness=0.357, material="N-SK16")
-    lens.add_surface(index=2, radius=-27.57, thickness=0.189)
-    lens.add_surface(index=3, radius=-3.457, thickness=0.081,
+    lens.add_surface(index=1, radius=1.3329, thickness=0.2791,
+                     material="N-SK15")
+    lens.add_surface(index=2, radius=-9.9754, thickness=0.2054)
+    lens.add_surface(index=3, radius=-2.0917, thickness=0.09,
                      material=("F2", "schott"))
-    lens.add_surface(index=4, radius=1.582, thickness=0.325, is_stop=True)
-    lens.add_surface(index=5, radius=jnp.inf, thickness=0.217,
-                     material=("F2", "schott"))
-    lens.add_surface(index=6, radius=1.920, thickness=0.396,
-                     material="N-SK16")
-    lens.add_surface(index=7, radius=-2.400, thickness=3.624885)
-    lens.add_surface(index=8)
-    lens.set_aperture(aperture_type="EPD", value=1.0)
+    lens.add_surface(index=4, radius=1.2123, thickness=0.0709)
+    lens.add_surface(index=5, radius=jnp.inf, thickness=0.1534, is_stop=True)
+    lens.add_surface(index=6, radius=-7.5205, thickness=0.09, material="K10")
+    lens.add_surface(index=7, radius=1.3010, thickness=0.3389,
+                     material="N-SK15")
+    lens.add_surface(index=8, radius=-1.5218, thickness=3.4025)
+    lens.add_surface(index=9)
+    lens.set_aperture(aperture_type="imageFNO", value=4.5)
     lens.set_field_type(field_type="angle")
     lens.add_field(y=0)
-    lens.add_field(y=14)
-    lens.add_field(y=20)
-    lens.add_wavelength(value=0.4861)
-    lens.add_wavelength(value=0.5876, is_primary=True)
-    lens.add_wavelength(value=0.6563)
+    lens.add_field(y=10)
+    lens.add_field(y=20.5)
+    lens.add_wavelength(value=0.48613270)
+    lens.add_wavelength(value=0.58756180, is_primary=True)
+    lens.add_wavelength(value=0.65627250)
     return lens
 
 
 def LensWithFieldCorrector() -> Optic:
-    """Simple doublet + field-flattener example with a finite object."""
-    lens = Optic(name="Doublet With Corrector")
-    lens.add_surface(index=0, radius=jnp.inf, thickness=200.0)
-    lens.add_surface(index=1, radius=61.2, thickness=6.0, material="N-BK7",
-                     is_stop=True)
-    lens.add_surface(index=2, radius=-43.2, thickness=2.0,
-                     material=("F2", "schott"))
-    lens.add_surface(index=3, radius=-128.0, thickness=80.0)
-    lens.add_surface(index=4, radius=-24.0, thickness=2.5, material="N-BK7")
-    lens.add_surface(index=5, radius=jnp.inf, thickness=5.0)
-    lens.add_surface(index=6)
-    lens.set_aperture(aperture_type="EPD", value=20.0)
-    lens.set_field_type(field_type="object_height")
+    """Lens with field corrector (reference samples/objectives.py,
+    Laikin p. 66)."""
+    lens = Optic(name="Lens With Field Corrector")
+    lens.add_surface(index=0, radius=jnp.inf, thickness=jnp.inf)
+    lens.add_surface(index=1, radius=1.9863, thickness=0.5,
+                     material="N-SK16")
+    lens.add_surface(index=2, radius=6.2901, thickness=0.4878)
+    lens.add_surface(index=3, radius=jnp.inf, thickness=0.1016, is_stop=True)
+    lens.add_surface(index=4, radius=-2.5971, thickness=0.1843,
+                     material=("F5", "schott"))
+    lens.add_surface(index=5, radius=2.4073, thickness=0.0719)
+    lens.add_surface(index=6, radius=5.8147, thickness=0.3153,
+                     material="N-SK16")
+    lens.add_surface(index=7, radius=-2.1926, thickness=2.6845)
+    lens.add_surface(index=8, radius=1.9071, thickness=0.502,
+                     material="N-SK16")
+    lens.add_surface(index=9, radius=2.3148, thickness=0.015)
+    lens.add_surface(index=10, radius=1.1907, thickness=0.2,
+                     material="N-SK4")
+    lens.add_surface(index=11, radius=0.9911, thickness=1.159)
+    lens.add_surface(index=12)
+    lens.set_aperture(aperture_type="imageFNO", value=3.5)
+    lens.set_field_type(field_type="angle")
     lens.add_field(y=0)
-    lens.add_field(y=10)
-    lens.add_wavelength(value=0.5876, is_primary=True)
+    lens.add_field(y=5)
+    lens.add_field(y=9.65)
+    lens.add_wavelength(value=0.48613270)
+    lens.add_wavelength(value=0.58756180, is_primary=True)
+    lens.add_wavelength(value=0.65627250)
+    lens.scale_system(25.4)
     return lens

@@ -212,6 +212,12 @@ class Optic:
                           + [self._surfaces[-1]])
         self._dirty()
 
+    def image_solve(self):
+        """Move the image plane to the paraxial focus (reference
+        optic_updater.image_solve): marginal-ray height 0 at the image."""
+        self.add_solve("marginal_ray_height",
+                       surface_idx=len(self._surfaces) - 1, height=0.0)
+
     def add_pickup(self, source_surface_idx, attr_type, target_surface_idx,
                    scale=1.0, offset=0.0):
         """Reference pickup.py:39-64 API."""

@@ -108,8 +108,45 @@ def test_multi_field_trace(ref_optiland):
                                    atol=ATOL)
 
 
+def _finite_doublet(cls):
+    """Finite-conjugate doublet + field flattener, built with either API."""
+    import numpy as np
+    lens = cls()
+    lens.add_surface(index=0, radius=np.inf, thickness=200.0)
+    lens.add_surface(index=1, radius=61.2, thickness=6.0, material="N-BK7",
+                     is_stop=True)
+    lens.add_surface(index=2, radius=-43.2, thickness=2.0,
+                     material=("F2", "schott"))
+    lens.add_surface(index=3, radius=-128.0, thickness=80.0)
+    lens.add_surface(index=4, radius=-24.0, thickness=2.5, material="N-BK7")
+    lens.add_surface(index=5, radius=np.inf, thickness=5.0)
+    lens.add_surface(index=6)
+    lens.set_aperture(aperture_type="EPD", value=20.0)
+    lens.set_field_type(field_type="object_height")
+    lens.add_field(y=0)
+    lens.add_field(y=10)
+    lens.add_wavelength(value=0.5876, is_primary=True)
+    return lens
+
+
 def test_finite_object_trace(ref_optiland):
     """Finite-conjugate system with object_height fields."""
+    from optiland.optic import Optic as RefOptic
+    from optiland_pr_tpu.system import Optic as OurOptic
+    ours = _finite_doublet(OurOptic)
+    ref = _finite_doublet(RefOptic)
+
+    got = ours.trace(Hx=0.0, Hy=1.0, wavelength=0.5876, num_rays=8,
+                     distribution="line_y")
+    want = ref.trace(Hx=0.0, Hy=1.0, wavelength=0.5876, num_rays=8,
+                     distribution="line_y")
+    np.testing.assert_allclose(np.asarray(got.y), np.asarray(want.y),
+                               rtol=RTOL, atol=ATOL)
+    np.testing.assert_allclose(np.asarray(got.opd), np.asarray(want.opd),
+                               rtol=RTOL, atol=ATOL)
+
+
+def _unused_old_finite(ref_optiland):
     import optiland
     ours = samples.LensWithFieldCorrector()
     # build equivalent reference system

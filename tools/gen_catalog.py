@@ -33,8 +33,8 @@ GLASSES = [
     ("N-SF11", None), ("N-SK10", None), ("N-SK11", None), ("N-SK15", None),
     ("N-SK16", None), ("N-SK2", None), ("N-SK4", None), ("N-SSK2", None),
     ("N-ZK7", None), ("Q-LAFPH1S", None), ("S-FSL5", None), ("S-LAL18", None),
-    ("SF4", None), ("SF4", "hikari"), ("SK15", None), ("SK16", None),
-    ("CAF2", None), ("F2", "schott"), ("F5", "schott"), ("LF5", "schott"),
+    ("SF4", None), ("SF4", "hikari"), ("SF4", "schott"), ("SK15", None), ("SK16", None),
+    ("CAF2", None), ("CAF2", "Daimon-20"), ("F2", "schott"), ("F5", "schott"), ("LF5", "schott"),
     ("SF1", "schott"), ("SF15", "hikari"), ("SF2", "schott"),
     ("SF5", "schott"), ("SF11", "schott"), ("BK7", "schott"),
     ("SF10", "schott"), ("LASF44", "schott"), ("BAF10", "schott"),
