@@ -14,7 +14,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..config import default_float
-from .dispersion import evaluate_formula
+from .dispersion import evaluate_formula, nair_edlen
 
 __all__ = ["MaterialModel", "IdealMaterial", "AbbeMaterial", "FormulaMaterial",
            "TabulatedMaterial", "AIR", "MIRROR", "Mirror"]
@@ -109,14 +109,16 @@ class FormulaMaterial(MaterialModel):
     kind = "formula"
 
     def __init__(self, formula_id: int, num_coefficients: int,
-                 has_k_table: bool = False, k_table_len: int = 0):
+                 has_k_table: bool = False, k_table_len: int = 0,
+                 has_thermal: bool = False):
         self.formula_id = int(formula_id)
         self.num_coefficients = int(num_coefficients)
         self.has_k_table = bool(has_k_table)
         self.k_table_len = int(k_table_len)
+        self.has_thermal = bool(has_thermal)
 
     def default_params(self, coefficients=None, k_wavelength=None, k_values=None,
-                       **kw) -> dict:
+                       t0_celsius=None, thermal_dispersion=None, **kw) -> dict:
         dt = default_float()
         c = jnp.zeros((self.num_coefficients,), dt)
         if coefficients is not None:
@@ -125,11 +127,35 @@ class FormulaMaterial(MaterialModel):
         if self.has_k_table:
             p["k_wavelength"] = jnp.asarray(k_wavelength, dt)
             p["k_values"] = jnp.asarray(k_values, dt)
+        if self.has_thermal:
+            p["t0_celsius"] = jnp.asarray(t0_celsius if t0_celsius is not None
+                                          else 20.0, dt)
+            p["thermal_dispersion"] = jnp.asarray(
+                thermal_dispersion if thermal_dispersion is not None
+                else [0.0] * 6, dt)
         return p
 
-    def n(self, p, wavelength_um):
+    def n(self, p, wavelength_um, temperature=None, pressure=None):
+        """Catalog index; with ``temperature`` given and thermal data present,
+        applies the Schott dn/dT correction + air-index rescaling exactly as
+        the reference (materials/material_file.py:96-232)."""
         w = jnp.asarray(wavelength_um)
-        return evaluate_formula(self.formula_id, p["coefficients"], w)
+        if temperature is None or not self.has_thermal:
+            return evaluate_formula(self.formula_id, p["coefficients"], w)
+        pressure = 1.0 if pressure is None else pressure
+        t0 = p["t0_celsius"]
+        c = p["thermal_dispersion"]
+        # relative wavelength scaled by air-index ratio
+        waverel = w * nair_edlen(w, temperature, pressure) /             nair_edlen(w, t0, 1.0)
+        base = evaluate_formula(self.formula_id, p["coefficients"], waverel)
+        n_air_ref = nair_edlen(w, t0, 1.0)
+        n_abs = base * n_air_ref
+        dT = temperature - t0
+        term1 = c[0] + c[1] * dT + c[2] * dT**2
+        term2 = (c[3] + c[4] * dT) / (w**2 - c[5] ** 2)
+        dn_abs = (n_abs**2 - 1.0) / (2.0 * n_abs) * (term1 + term2) * dT
+        n_abs = n_abs + dn_abs
+        return n_abs / nair_edlen(w, temperature, pressure)
 
     def k(self, p, wavelength_um):
         w = jnp.asarray(wavelength_um)

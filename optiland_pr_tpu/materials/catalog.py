@@ -53,12 +53,17 @@ def glass(name: str, reference: str | None = None):
     e = _find_entry(name, reference)
     has_k = "k_values" in e
     if "formula" in e:
+        has_thermal = "thermal_dispersion" in e
         model = FormulaMaterial(e["formula"], len(e["coefficients"]),
                                 has_k_table=has_k,
-                                k_table_len=len(e.get("k_values", [])))
-        params = model.default_params(coefficients=e["coefficients"],
-                                      k_wavelength=e.get("k_wavelength"),
-                                      k_values=e.get("k_values"))
+                                k_table_len=len(e.get("k_values", [])),
+                                has_thermal=has_thermal)
+        params = model.default_params(
+            coefficients=e["coefficients"],
+            k_wavelength=e.get("k_wavelength"),
+            k_values=e.get("k_values"),
+            t0_celsius=e.get("t0_celsius"),
+            thermal_dispersion=e.get("thermal_dispersion"))
     else:
         model = TabulatedMaterial(len(e["n_values"]), has_k_table=has_k,
                                   k_table_len=len(e.get("k_values", [])))

@@ -57,6 +57,16 @@ def extract_entry(name, reference):
 
     entry = {"file": str(Path(filename).relative_to(
         Path(filename).parents[3])) if "data-nk" in filename else filename}
+    specs = data.get("SPECS") or {}
+    t0 = specs.get("temperature")
+    if isinstance(t0, str):
+        t0 = float(t0.split()[0])
+    if t0 is not None:
+        entry["t0_celsius"] = t0
+    for td in specs.get("thermal_dispersion", []) or []:
+        if td.get("type") == "Schott formula":
+            entry["thermal_dispersion"] = [
+                float(c) for c in td["coefficients"].split()]
     for sub in data.get("DATA", []):
         t = sub.get("type", "")
         if t.startswith("formula "):
