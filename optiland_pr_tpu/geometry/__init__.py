@@ -5,8 +5,9 @@ from .aspheres import (Biconic, ChebyshevSag, EvenAsphere, OddAsphere,
 from .extras import (FresnelDesignedSag, FresnelZoneSag, GridSag,
                      PlaneGrating, StandardGrating, ZernikeSag)
 from .forbes import ForbesQbfs
+from .nurbs import NurbsGeometry
 
 __all__ = ["Geometry", "conic_distance", "newton_distance", "Plane",
            "StandardGeometry", "Biconic", "ChebyshevSag", "EvenAsphere",
            "OddAsphere", "PolynomialXY", "Toroidal", "FresnelZoneSag",
-           "GridSag", "PlaneGrating", "StandardGrating", "ZernikeSag", "ForbesQbfs", "FresnelDesignedSag"]
+           "GridSag", "PlaneGrating", "StandardGrating", "ZernikeSag", "ForbesQbfs", "FresnelDesignedSag", "NurbsGeometry"]

@@ -205,7 +205,7 @@ def UVProjectionLens() -> Optic:
     lens.add_field(y=48)
     lens.add_wavelength(value=0.248, is_primary=True)
     lens.obj_space_telecentric = True
-    lens._dirty()
+    lens.image_solve()
     return lens
 
 

@@ -18,6 +18,7 @@ from ..geometry import (Biconic, ChebyshevSag, EvenAsphere, OddAsphere, Plane,
 from ..geometry.extras import (FresnelDesignedSag, FresnelZoneSag, GridSag,
                                PlaneGrating, StandardGrating, ZernikeSag)
 from ..geometry.forbes import ForbesQbfs
+from ..geometry.nurbs import NurbsGeometry
 from ..materials import resolve_material
 from ..materials.base import Mirror
 from ..trace import real as real_trace
@@ -47,6 +48,9 @@ _GEOMETRY_BUILDERS = {
     "grating": lambda kw: StandardGrating(),
     "fresnel_zone": lambda kw: FresnelZoneSag(),
     "fresnel_designed": lambda kw: FresnelDesignedSag(),
+    "nurbs": lambda kw: NurbsGeometry(
+        *(__import__("numpy").asarray(kw["control_points"]).shape[1:3]),
+        kw.get("u_degree", 3), kw.get("v_degree", 3)),
     "forbes_qbfs": lambda kw: ForbesQbfs(
         len(kw.get("coefficients") or [])
         or (max(kw.get("radial_terms", {0: 0}).keys()) + 1)),
