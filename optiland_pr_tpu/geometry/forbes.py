@@ -22,7 +22,7 @@ from ..core.safe_math import safe_div
 from .base import Geometry
 from .standard import _conic_sag, _conic_sag_grad
 
-__all__ = ["ForbesQbfs", "qbfs_basis_matrix"]
+__all__ = ["ForbesQbfs", "ForbesQ2d", "qbfs_basis_matrix"]
 
 
 @lru_cache(maxsize=None)
@@ -195,4 +195,302 @@ class ForbesQbfs(Geometry):
         ds_dep_drho = jnp.where(u >= 1, 0.0, ds_dep_drho)
         dfdx = base_x + ds_dep_drho * (x / rho)
         dfdy = base_y + ds_dep_drho * (y / rho)
+        return dfdx, dfdy
+
+
+# --- Forbes Q2D freeform --------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _gamma_q2d(n: int, m: int) -> float:
+    """(reference qpoly.py gamma_func)."""
+    if n == 1 and m == 2:
+        return 3.0 / 8.0
+    if n == 1 and m > 2:
+        mm1 = m - 1
+        return ((2 * mm1 + 1) / (2 * (mm1 - 1))) * _gamma_q2d(1, mm1)
+    nm1 = n - 1
+    num = (nm1 + 1) * (2 * m + 2 * nm1 - 1)
+    den = (m + nm1 - 2) * (2 * nm1 + 1)
+    return (num / den) * _gamma_q2d(nm1, m)
+
+
+def _kron(i, j):
+    return 1 if i == j else 0
+
+
+@lru_cache(maxsize=None)
+def _g_q2d_raw(n: int, m: int) -> float:
+    from scipy import special
+    if n == 0:
+        return float(special.factorial2(2 * m - 1)
+                     / (2 ** (m + 1) * special.factorial(m - 1)))
+    if n > 0 and m == 1:
+        term1 = -((2 * n**2 - 1) * (n**2 - 1)) / (8 * (4 * n**2 - 1))
+        return term1 - _kron(n, 1) / 24.0
+    nt1 = 2 * n * (m + n - 1) - m
+    nt2 = (n + 1) * (2 * m + 2 * n - 1)
+    den = (m + 2 * n - 2) * (m + 2 * n - 1) * (m + 2 * n) * (2 * n + 1)
+    return -(nt1 * nt2) / den * _gamma_q2d(n, m)
+
+
+@lru_cache(maxsize=None)
+def _f_q2d_raw(n: int, m: int) -> float:
+    from scipy import special
+    if n == 0 and m == 1:
+        return 0.25
+    if n == 0:
+        return float(m**2 * special.factorial2(2 * m - 3)
+                     / (2 ** (m + 1) * special.factorial(m - 1)))
+    if n > 0 and m == 1:
+        term1 = (4 * (n - 1) ** 2 * n**2 + 1) / (8 * (2 * n - 1) ** 2)
+        return term1 + 11.0 / 32.0 * _kron(n, 1)
+    chi = m + n - 2
+    num = 2 * n * chi * (3 - 5 * m + 4 * n * chi) \
+        + m**2 * (3 - m + 4 * n * chi)
+    den = (m + 2 * n - 3) * (m + 2 * n - 2) * (m + 2 * n - 1) * (2 * n - 1)
+    return num / den * _gamma_q2d(n, m)
+
+
+@lru_cache(maxsize=None)
+def _f_q2d(n: int, m: int) -> float:
+    if n == 0:
+        return math.sqrt(_f_q2d_raw(0, m))
+    return math.sqrt(_f_q2d_raw(n, m) - _g_q2d(n - 1, m) ** 2)
+
+
+@lru_cache(maxsize=None)
+def _g_q2d(n: int, m: int) -> float:
+    return _g_q2d_raw(n, m) / _f_q2d(n, m)
+
+
+_ABC_Q2D_SPECIAL = {(1, 0): (2, -1, 0), (1, 1): (-4 / 3, -8 / 3, -11 / 3),
+                    (1, 2): (9 / 5, -24 / 5, 0), (2, 0): (3, -2, 0),
+                    (3, 0): (5, -4, 0)}
+
+
+@lru_cache(maxsize=None)
+def _abc_q2d(n: int, m: int):
+    if (m, n) in _ABC_Q2D_SPECIAL:
+        return _ABC_Q2D_SPECIAL[(m, n)]
+    d = (4 * n**2 - 1) * (m + n - 2) * (m + 2 * n - 3)
+    if d == 0:
+        d = 1e-99
+    a = ((2 * n - 1) * (m + 2 * n - 2)
+         * (4 * n * (m + n - 2) + (m - 3) * (2 * m - 1))) / d
+    b = (-2 * (2 * n - 1) * (m + 2 * n - 3) * (m + 2 * n - 2)
+         * (m + 2 * n - 1)) / d
+    c = (n * (2 * n - 3) * (m + 2 * n - 1) * (2 * m + 2 * n - 3)) / d
+    return a, b, c
+
+
+@lru_cache(maxsize=None)
+def q2d_basis_matrix(num_terms: int, m: int) -> np.ndarray:
+    """ds = M @ cns for the Q2D -> Pnm basis change (linear, reference
+    qpoly.py change_basis_q2d_to_pnm)."""
+    m = abs(m)
+    n_max = num_terms - 1
+    M = np.zeros((num_terms, num_terms))
+    for col in range(num_terms):
+        cns = np.zeros(num_terms)
+        cns[col] = 1.0
+        ds = np.zeros(num_terms)
+        ds[n_max] = cns[n_max] / _f_q2d(n_max, m)
+        for n in range(n_max - 1, -1, -1):
+            ds[n] = (cns[n] - _g_q2d(n, m) * ds[n + 1]) / _f_q2d(n, m)
+        M[:, col] = ds
+    return M
+
+
+def _clenshaw_q2d(ds_list, m, usq):
+    n_max = len(ds_list) - 1
+    al = [jnp.zeros_like(usq) for _ in range(n_max + 3)]
+    al[n_max] = ds_list[n_max] + jnp.zeros_like(usq)
+    if n_max >= 1:
+        a, b, _ = _abc_q2d(n_max - 1, m)
+        al[n_max - 1] = ds_list[n_max - 1] + (a + b * usq) * al[n_max]
+    for n in range(n_max - 2, -1, -1):
+        a, b, _ = _abc_q2d(n, m)
+        _, _, c = _abc_q2d(n + 1, m)
+        al[n] = ds_list[n] + (a + b * usq) * al[n + 1] - c * al[n + 2]
+    return al
+
+
+def _clenshaw_q2d_der(ds_list, m, usq, al0):
+    n_max = len(ds_list) - 1
+    al = [jnp.zeros_like(usq) for _ in range(n_max + 3)]
+    jj = 1
+    if n_max - jj >= 0:
+        _, b, _ = _abc_q2d(n_max - jj, m)
+        al[n_max - jj] = jj * b * al0[n_max - jj + 1]
+        for n in range(n_max - jj - 1, -1, -1):
+            a, b, _ = _abc_q2d(n, m)
+            _, _, c = _abc_q2d(n + 1, m)
+            al[n] = (jj * b * al0[n + 1] + (a + b * usq) * al[n + 1]
+                     - c * al[n + 2])
+    return al
+
+
+def _q2d_sum(al, m, num_coeffs):
+    s = 0.5 * al[0]
+    if m == 1 and num_coeffs - 1 > 2:
+        s = s - 2.0 / 5.0 * al[3]
+    return s
+
+
+class ForbesQ2d(Geometry):
+    """Forbes Q2D freeform (reference forbes/geometry.py:382-670):
+
+    z = z_base + sigma^-1 [ u^2(1-u^2) sum a_n Q_n(u^2)
+                            + sum_m u^m (cos/sin)(m theta) sum_n c Q_n^m(u^2) ]
+
+    Static structure: the (n, m) term list (Zemax-style keys ("A", m, n) for
+    cosine and ("B", m, n) for sine terms). Coefficient values live in params.
+    """
+
+    kind = "forbes_q2d"
+    is_symmetric = False
+
+    def __init__(self, terms: tuple):
+        """``terms``: ordered tuple of (n, m) with m > 0 cosine, m < 0 sine,
+        m == 0 rotational."""
+        self.terms = tuple((int(n), int(m)) for n, m in terms)
+        # group: m=0 list length, per-|m| a (cos) and b (sin) list lengths
+        self.n_m0 = max([n for n, m in self.terms if m == 0], default=-1) + 1
+        max_m = max([abs(m) for n, m in self.terms if m != 0], default=0)
+        self.max_m = max_m
+        self.len_a = [0] * (max_m + 1)
+        self.len_b = [0] * (max_m + 1)
+        for n, m in self.terms:
+            if m > 0:
+                self.len_a[m] = max(self.len_a[m], n + 1)
+            elif m < 0:
+                self.len_b[-m] = max(self.len_b[-m], n + 1)
+
+    def default_params(self, radius=jnp.inf, conic=0.0, coefficients=None,
+                       norm_radius=1.0, **kw):
+        dt = default_float()
+        c = jnp.zeros((max(len(self.terms), 1),), dt)
+        if coefficients is not None and len(coefficients):
+            c = c.at[: len(coefficients)].set(jnp.asarray(coefficients, dt))
+        return {"radius": jnp.asarray(radius, dt),
+                "conic": jnp.asarray(conic, dt),
+                "coefficients": c,
+                "norm_radius": jnp.asarray(norm_radius, dt)}
+
+    # -- coefficient regrouping (differentiable gather) --------------------
+    def _grouped(self, c):
+        cm0 = [jnp.zeros(()) for _ in range(self.n_m0)]
+        ams = [[jnp.zeros(()) for _ in range(self.len_a[m])]
+               for m in range(self.max_m + 1)]
+        bms = [[jnp.zeros(()) for _ in range(self.len_b[m])]
+               for m in range(self.max_m + 1)]
+        for idx, (n, m) in enumerate(self.terms):
+            if m == 0:
+                cm0[n] = c[idx]
+            elif m > 0:
+                ams[m][n] = c[idx]
+            else:
+                bms[-m][n] = c[idx]
+        return cm0, ams, bms
+
+    def _series(self, p, u, theta):
+        """(poly_m0, dpoly_m0_du, poly_mgt0, dr_mgt0, dt_mgt0)."""
+        usq = u * u
+        c = p["coefficients"]
+        cm0, ams, bms = self._grouped(c)
+        zero = jnp.zeros_like(u)
+
+        # m = 0 part: Qbfs machinery
+        if cm0:
+            Mb = jnp.asarray(qbfs_basis_matrix(len(cm0)), u.dtype)
+            bs = Mb @ jnp.stack(cm0)
+            bs_list = [bs[i] for i in range(len(cm0))]
+            al0 = _clenshaw_qbfs(bs_list, usq)
+            if len(cm0) > 1:
+                s_m0 = 2 * (al0[0] + al0[1])
+                a1 = _clenshaw_qbfs_der(bs_list, usq, al0)
+                ds_dusq = 2 * (a1[0] + a1[1])
+            else:
+                s_m0 = 2 * al0[0]
+                ds_dusq = zero
+            d_m0_du = ds_dusq * 2 * u
+        else:
+            s_m0, d_m0_du = zero, zero
+
+        poly_terms, dr_terms, dt_terms = [], [], []
+        for m in range(1, self.max_m + 1):
+            s_a = s_b = sp_a = sp_b = zero
+            for coefs, is_a in ((ams[m], True), (bms[m], False)):
+                if not coefs:
+                    continue
+                Mq = jnp.asarray(q2d_basis_matrix(len(coefs), m), u.dtype)
+                ds = Mq @ jnp.stack(coefs)
+                ds_list = [ds[i] for i in range(len(coefs))]
+                al0 = _clenshaw_q2d(ds_list, m, usq)
+                al1 = _clenshaw_q2d_der(ds_list, m, usq, al0)
+                s = _q2d_sum(al0, m, len(coefs))
+                sp = _q2d_sum(al1, m, len(coefs))
+                if is_a:
+                    s_a, sp_a = s, sp
+                else:
+                    s_b, sp_b = s, sp
+            um = u**m
+            cost = jnp.cos(m * theta)
+            sint = jnp.sin(m * theta)
+            poly_terms.append(um * (cost * s_a + sint * s_b))
+            umm1 = u ** (m - 1)
+            aterm = cost * (2 * usq * sp_a + m * s_a)
+            bterm = sint * (2 * usq * sp_b + m * s_b)
+            dr_terms.append(umm1 * (aterm + bterm))
+            dt_terms.append(m * um * (-s_a * sint + s_b * cost))
+
+        poly_mgt0 = sum(poly_terms) if poly_terms else zero
+        dr_mgt0 = sum(dr_terms) if dr_terms else zero
+        dt_mgt0 = sum(dt_terms) if dt_terms else zero
+        return s_m0, d_m0_du, poly_mgt0, dr_mgt0, dt_mgt0
+
+    # -- interface ---------------------------------------------------------
+    def _sigma(self, p, r2):
+        return ForbesQbfs._conic_correction(self, p, r2)
+
+    def sag(self, p, x, y):
+        r2 = x**2 + y**2
+        z_base = _conic_sag(p["radius"], p["conic"], x, y)
+        z_base = jnp.where(jnp.isinf(p["radius"]), jnp.zeros_like(z_base),
+                           z_base)
+        rho = jnp.sqrt(r2 + 1e-12)
+        u = rho / p["norm_radius"]
+        theta = jnp.arctan2(y, jnp.where(rho < 1e-12, x + 1e-12, x))
+        s_m0, _, s_mgt0, _, _ = self._series(p, u, theta)
+        factor, _ = self._sigma(p, r2)
+        usq = u * u
+        departure = usq * (1 - usq) * factor * s_m0 + factor * s_mgt0
+        S = jnp.where(u > 1, 0.0, departure)
+        return z_base + S
+
+    def sag_grad(self, p, x, y):
+        r2 = x**2 + y**2
+        rho = jnp.sqrt(r2 + 1e-12)
+        base_x, base_y = _conic_sag_grad(p["radius"], p["conic"], x, y)
+        nr = p["norm_radius"]
+        u = rho / nr
+        usq = u * u
+        theta = jnp.arctan2(y, jnp.where(rho < 1e-12, x + 1e-12, x))
+        s_m0, d_m0_du, s_mgt0, dr_mgt0, dt_mgt0 = self._series(p, u, theta)
+        factor, dfactor_drho = self._sigma(p, r2)
+
+        # m = 0 departure derivative (as Qbfs)
+        dpref_drho = (2 * u - 4 * u**3) / nr
+        dpoly_drho = d_m0_du / nr
+        dS0 = (dpref_drho * factor * s_m0
+               + (usq - usq**2) * dfactor_drho * s_m0
+               + (usq - usq**2) * factor * dpoly_drho)
+        # m > 0 departure derivative
+        dSg_drho = dfactor_drho * s_mgt0 + factor * dr_mgt0 / nr
+        dS_drho = jnp.where(u >= 1, 0.0, dS0 + dSg_drho)
+        dS_dtheta = jnp.where(u >= 1, 0.0, factor * dt_mgt0)
+
+        inv_rho = 1.0 / rho
+        dfdx = base_x + dS_drho * x * inv_rho - dS_dtheta * y * inv_rho**2
+        dfdy = base_y + dS_drho * y * inv_rho + dS_dtheta * x * inv_rho**2
         return dfdx, dfdy

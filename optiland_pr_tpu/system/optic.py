@@ -17,7 +17,7 @@ from ..geometry import (Biconic, ChebyshevSag, EvenAsphere, OddAsphere, Plane,
                         PolynomialXY, StandardGeometry, Toroidal)
 from ..geometry.extras import (FresnelDesignedSag, FresnelZoneSag, GridSag,
                                PlaneGrating, StandardGrating, ZernikeSag)
-from ..geometry.forbes import ForbesQbfs
+from ..geometry.forbes import ForbesQbfs, ForbesQ2d
 from ..geometry.nurbs import NurbsGeometry
 from ..materials import resolve_material
 from ..materials.base import Mirror
@@ -51,6 +51,7 @@ _GEOMETRY_BUILDERS = {
     "nurbs": lambda kw: NurbsGeometry(
         *(__import__("numpy").asarray(kw["control_points"]).shape[1:3]),
         kw.get("u_degree", 3), kw.get("v_degree", 3)),
+    "forbes_q2d": lambda kw: ForbesQ2d(tuple(kw["terms"])),
     "forbes_qbfs": lambda kw: ForbesQbfs(
         len(kw.get("coefficients") or [])
         or (max(kw.get("radial_terms", {0: 0}).keys()) + 1)),
