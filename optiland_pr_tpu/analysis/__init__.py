@@ -3,9 +3,10 @@ from .wavefront import (Wavefront, WavefrontData, OPD, ZernikeOPD,
                         wavefront_data, fit_and_remove_tilt)
 from .psf import FFTPSF, HuygensPSF, calculate_grid_size
 from .mtf import FFTMTF, GeometricMTF
-from .misc import (RayFan, Distortion, GridDistortion, FieldCurvature, YYbar,
-                   PupilAberration, RmsSpotSizeVsField,
-                   RmsWavefrontErrorVsField, ThroughFocusSpotDiagram)
+from .misc import (RayFan, BestFitRayFan, Distortion, GridDistortion,
+                   FieldCurvature, YYbar, PupilAberration,
+                   RmsSpotSizeVsField, RmsWavefrontErrorVsField,
+                   ThroughFocusSpotDiagram, AngleVsHeight)
 from .irradiance import IncoherentIrradiance, RadiantIntensity, irradiance_histogram
 from .psf_mtf_extra import MMDFTPSF, SampledMTF, HuygensMTF, ThroughFocusMTF
 
@@ -16,4 +17,5 @@ __all__ = ["SpotData", "SpotDiagram", "spot_diagram", "encircled_energy",
            "FieldCurvature", "YYbar", "PupilAberration", "RmsSpotSizeVsField",
            "RmsWavefrontErrorVsField", "ThroughFocusSpotDiagram",
            "IncoherentIrradiance", "RadiantIntensity", "irradiance_histogram",
-           "MMDFTPSF", "SampledMTF", "HuygensMTF", "ThroughFocusMTF"]
+           "MMDFTPSF", "SampledMTF", "HuygensMTF", "ThroughFocusMTF",
+           "BestFitRayFan", "AngleVsHeight"]

