@@ -52,75 +52,68 @@ def huygens_sum_xla(px, py, pz, opl, amp, ix, iy, iz, k, chunk: int = 4096):
     return out.reshape(-1)[:n]
 
 
-def _kernel(pup_ref, img_ref, out_ref, *, n_pupil_chunks: int,
-            chunk: int, k: float):
-    """One image tile: loop pupil chunks, accumulate the complex field."""
-    tx = img_ref[0, :]
-    ty = img_ref[1, :]
-    tz = img_ref[2, :]
+def _kernel(pup_ref, img_ref, out_ref, *, n_pupil: int, k: float):
+    """One image tile ([rows, 128] layout): loop pupil points (scalars from
+    SMEM), accumulate the complex field in VMEM registers."""
+    tx = img_ref[0, :, :]
+    ty = img_ref[1, :, :]
+    tz = img_ref[2, :, :]
     re = jnp.zeros_like(tx)
     im = jnp.zeros_like(tx)
 
-    def body(c, carry):
-        re, im = carry
-        base = c * chunk
+    def inner(j, carry):
+        re2, im2 = carry
+        px = pup_ref[0, j]
+        py = pup_ref[1, j]
+        pz = pup_ref[2, j]
+        opl = pup_ref[3, j]
+        amp = pup_ref[4, j]
+        dx = tx - px
+        dy = ty - py
+        dz = tz - pz
+        r = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        phase = k * (opl + r)
+        re2 = re2 + amp * jnp.cos(phase)
+        im2 = im2 + amp * jnp.sin(phase)
+        return re2, im2
 
-        def inner(j, carry2):
-            re2, im2 = carry2
-            idx = base + j
-            px = pup_ref[0, idx]
-            py = pup_ref[1, idx]
-            pz = pup_ref[2, idx]
-            opl = pup_ref[3, idx]
-            amp = pup_ref[4, idx]
-            dx = tx - px
-            dy = ty - py
-            dz = tz - pz
-            r = jnp.sqrt(dx * dx + dy * dy + dz * dz)
-            phase = k * (opl + r)
-            re2 = re2 + amp * jnp.cos(phase)
-            im2 = im2 + amp * jnp.sin(phase)
-            return re2, im2
-
-        return jax.lax.fori_loop(0, chunk, inner, (re, im))
-
-    re, im = jax.lax.fori_loop(0, n_pupil_chunks, body, (re, im))
-    out_ref[:] = re * re + im * im
+    re, im = jax.lax.fori_loop(0, n_pupil, inner, (re, im))
+    out_ref[:, :] = re * re + im * im
 
 
 def huygens_sum_pallas(px, py, pz, opl, amp, ix, iy, iz, k,
-                       tile: int = 1024, chunk: int = 256):
-    """Pallas version of ``huygens_sum_xla`` (TPU only)."""
+                       tile_rows: int = 8):
+    """Pallas version of ``huygens_sum_xla`` (TPU only). Image points are laid
+    out [3, rows, 128]; pupil scalars live in SMEM."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     P = px.shape[0]
     n = ix.shape[0]
-    p_pad = (-P) % chunk
-    pup = jnp.stack([jnp.pad(jnp.asarray(v, jnp.float32), (0, p_pad))
+    lanes = 128
+    per_tile = tile_rows * lanes
+    n_pad = (-n) % per_tile
+    rows = (n + n_pad) // lanes
+
+    pup = jnp.stack([jnp.asarray(v, jnp.float32)
                      for v in (px, py, pz, opl, amp)])
-    # padded pupil points get zero amplitude
-    if p_pad:
-        pup = pup.at[4, P:].set(0.0)
-    n_pad = (-n) % tile
-    img = jnp.stack([jnp.pad(jnp.asarray(v, jnp.float32), (0, n_pad))
+    img = jnp.stack([jnp.pad(jnp.asarray(v, jnp.float32),
+                             (0, n_pad)).reshape(rows, lanes)
                      for v in (ix, iy, iz)])
 
-    grid = (img.shape[1] // tile,)
-    kernel = functools.partial(_kernel,
-                               n_pupil_chunks=pup.shape[1] // chunk,
-                               chunk=chunk, k=float(k))
+    grid = (rows // tile_rows,)
+    kernel = functools.partial(_kernel, n_pupil=P, k=float(k))
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((5, pup.shape[1]), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile), lambda i: (0, i),
+            pl.BlockSpec((5, P), lambda i: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((3, tile_rows, lanes), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile,), lambda i: (i,),
+        out_specs=pl.BlockSpec((tile_rows, lanes), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((img.shape[1],), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((rows, lanes), jnp.float32),
     )(pup, img)
-    return out[:n]
+    return out.reshape(-1)[:n]

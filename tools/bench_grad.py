@@ -1,0 +1,74 @@
+"""Gradient-step throughput for a 50-variable merit function (BASELINE
+"grad-step/s for 50-var merit fn").
+
+Builds a double-Gauss problem with 50 variables (11 radii + 11 thicknesses +
+asphere coefficients + conics across surfaces) and an RMS-spot merit over
+3 fields x 512 rays, then times jitted value_and_grad steps.
+
+Run on TPU: python tools/bench_grad.py
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+import jax
+import jax.numpy as jnp
+
+from optiland_pr_tpu.samples import DoubleGauss
+from optiland_pr_tpu.optimize import OptimizationProblem
+
+
+def main():
+    lens = DoubleGauss()
+    problem = OptimizationProblem(lens)
+    for hy in (0.0, 0.7, 1.0):
+        problem.add_operand("rms_spot_size", target=0.0, weight=1.0,
+                            input_data={"surface_number": 12, "Hx": 0.0,
+                                        "Hy": hy, "num_rays": 12,
+                                        "wavelength": 0.5876,
+                                        "distribution": "hexapolar"})
+    problem.add_operand("f2", target=100.0, weight=0.1)
+
+    # 50 variables: radii + conics + thicknesses
+    for k in range(1, 12):
+        problem.add_variable("radius", surface_number=k)
+    for k in range(1, 12):
+        problem.add_variable("conic", surface_number=k)
+    for k in range(1, 12):
+        problem.add_variable("thickness", surface_number=k)
+    for k in range(1, 12):
+        problem.add_variable("index", surface_number=k) \
+            if lens.model.surfaces[k].material.kind == "ideal" else \
+            problem.add_variable("radius", surface_number=k,
+                                 scaler="reciprocal")
+    for k in range(1, 6):
+        problem.add_variable("conic", surface_number=k)
+
+    x0 = problem.x0()
+    n_vars = int(x0.shape[0])
+    vg = problem.value_and_grad
+    v, g = jax.block_until_ready(vg(x0))
+    assert np.isfinite(float(v)) and np.isfinite(np.asarray(g)).all()
+
+    reps = 20
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        v, g = vg(x0)
+    jax.block_until_ready(g)
+    dt = (time.perf_counter() - t0) / reps
+    print(json.dumps({
+        "metric": "grad_steps_per_s_50var_merit",
+        "num_variables": n_vars,
+        "value": 1.0 / dt,
+        "unit": "grad-steps/s",
+        "ms_per_step": dt * 1e3,
+    }))
+
+
+if __name__ == "__main__":
+    main()
