@@ -1,5 +1,5 @@
 from .spot import SpotData, SpotDiagram, spot_diagram, encircled_energy
-from .wavefront import (Wavefront, WavefrontData, OPD, ZernikeOPD,
+from .wavefront import (Wavefront, WavefrontData, OPD, OPDFan, ZernikeOPD,
                         wavefront_data, fit_and_remove_tilt)
 from .psf import FFTPSF, HuygensPSF, calculate_grid_size
 from .mtf import FFTMTF, GeometricMTF
@@ -11,7 +11,7 @@ from .irradiance import IncoherentIrradiance, RadiantIntensity, irradiance_histo
 from .psf_mtf_extra import MMDFTPSF, SampledMTF, HuygensMTF, ThroughFocusMTF
 
 __all__ = ["SpotData", "SpotDiagram", "spot_diagram", "encircled_energy",
-           "Wavefront", "WavefrontData", "OPD", "ZernikeOPD", "wavefront_data",
+           "Wavefront", "WavefrontData", "OPD", "OPDFan", "ZernikeOPD", "wavefront_data",
            "fit_and_remove_tilt", "FFTPSF", "HuygensPSF", "calculate_grid_size",
            "FFTMTF", "GeometricMTF", "RayFan", "Distortion", "GridDistortion",
            "FieldCurvature", "YYbar", "PupilAberration", "RmsSpotSizeVsField",

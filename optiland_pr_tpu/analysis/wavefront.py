@@ -18,8 +18,8 @@ from ..system.model import OpticModel, positions_from_params, field_coords
 from ..trace import real as real_trace
 from ..trace.paraxial import Paraxial, system_arrays
 
-__all__ = ["WavefrontData", "wavefront_data", "Wavefront", "OPD", "ZernikeOPD",
-           "fit_and_remove_tilt"]
+__all__ = ["WavefrontData", "wavefront_data", "Wavefront", "OPD", "OPDFan",
+           "ZernikeOPD", "fit_and_remove_tilt"]
 
 
 @dataclasses.dataclass
@@ -226,3 +226,34 @@ class ZernikeOPD:
     @property
     def coeffs(self):
         return self.fit.coeffs
+
+
+class OPDFan(Wavefront):
+    """Tangential/sagittal OPD fans (reference wavefront/opd_fan.py:27):
+    the wavefront error along the Py axis (Px=0) and the Px axis (Py=0)."""
+
+    def __init__(self, optic, fields="all", wavelengths="all",
+                 num_rays: int = 100):
+        self.pupil_coord = jnp.linspace(-1, 1, num_rays)
+        super().__init__(optic, fields=fields, wavelengths=wavelengths,
+                         num_rays=num_rays, distribution="cross")
+
+    def view(self):
+        import matplotlib.pyplot as plt
+        import numpy as np
+        F = len(self.fields)
+        fig, axs = plt.subplots(F, 2, figsize=(8, 3 * F), squeeze=False)
+        n = self.pupil_coord.shape[0]
+        for i, f in enumerate(self.fields):
+            for wl in self.wavelengths:
+                d = self.get_data(f, wl)
+                opd = np.asarray(d.opd)
+                # cross distribution: first the y-line, then the x-line
+                axs[i, 0].plot(np.asarray(self.pupil_coord), opd[:n],
+                               label=f"{wl} um")
+                axs[i, 1].plot(np.asarray(self.pupil_coord)[
+                    np.argsort(np.asarray(self.distribution_x[n:]))],
+                    opd[n:], label=f"{wl} um")
+            axs[i, 0].set_title(f"Py fan, field {f}", fontsize=8)
+            axs[i, 1].set_title(f"Px fan, field {f}", fontsize=8)
+        return fig, axs
