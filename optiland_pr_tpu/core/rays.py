@@ -112,29 +112,34 @@ def align_normal(L, M, N, nx, ny, nz):
     return nx * sgn, ny * sgn, nz * sgn, jnp.abs(dot)
 
 
-def refract(rays: Rays, nx, ny, nz, n1, n2) -> Rays:
+def refract(rays: Rays, nx, ny, nz, n1, n2):
     """Vector Snell refraction (reference rays/real_rays.py:141-163).
 
-    Rays undergoing TIR get NaN directions (matching the reference's
-    sqrt-of-negative), but gradients of TIR'd rays are exactly zero.
+    Returns (rays, ok): TIR rays keep a *finite* direction (the clamped
+    grazing solution) and are flagged invalid via ``ok``; the trace injects
+    NaN at the end for reference parity. Keeping internals finite is what
+    keeps reverse-mode gradients clean when rays are lost (0 * NaN = NaN
+    otherwise — see docs/architecture.md).
     """
     nx, ny, nz, dot = align_normal(rays.L, rays.M, rays.N, nx, ny, nz)
     u = n1 / n2
     disc = 1.0 - u**2 * (1.0 - dot**2)
     ok = disc >= 0
-    root = jnp.where(ok, jnp.sqrt(jnp.where(ok, disc, 1.0)), jnp.nan)
+    root = jnp.sqrt(jnp.where(ok, disc, 0.0))
     tx = u * rays.L + nx * root - u * nx * dot
     ty = u * rays.M + ny * root - u * ny * dot
     tz = u * rays.N + nz * root - u * nz * dot
-    return rays.replace(L=tx, M=ty, N=tz)
+    return rays.replace(L=tx, M=ty, N=tz), ok
 
 
-def reflect(rays: Rays, nx, ny, nz) -> Rays:
-    """Mirror reflection (reference rays/real_rays.py:165-181)."""
+def reflect(rays: Rays, nx, ny, nz):
+    """Mirror reflection (reference rays/real_rays.py:165-181).
+    Returns (rays, ok) for interface symmetry with refract (always valid)."""
     nx, ny, nz, dot = align_normal(rays.L, rays.M, rays.N, nx, ny, nz)
-    return rays.replace(L=rays.L - 2 * dot * nx,
-                        M=rays.M - 2 * dot * ny,
-                        N=rays.N - 2 * dot * nz)
+    out = rays.replace(L=rays.L - 2 * dot * nx,
+                       M=rays.M - 2 * dot * ny,
+                       N=rays.N - 2 * dot * nz)
+    return out, jnp.ones_like(rays.L, dtype=bool)
 
 
 def grating_diffract(rays: Rays, nx, ny, nz, fx, fy, fz, m, d, n1, n2,
@@ -164,11 +169,11 @@ def grating_diffract(rays: Rays, nx, ny, nz, fx, fy, fz, m, d, n1, n2,
     t2 = tx**2 + ty**2 + tz**2
     disc = n2**2 - t2
     ok = disc >= 0
-    kn = jnp.where(ok, jnp.sqrt(jnp.where(ok, disc, 1.0)), jnp.nan)
+    kn = jnp.sqrt(jnp.where(ok, disc, 0.0))
     if is_reflective:
         kn = -kn
     Lx = (tx + kn * nxa) / n2c if is_reflective else (tx + kn * nxa) / n2
     Ly = (ty + kn * nya) / n2c if is_reflective else (ty + kn * nya) / n2
     Lz = (tz + kn * nza) / n2c if is_reflective else (tz + kn * nza) / n2
     out = rays.replace(L=Lx, M=Ly, N=Lz)
-    return normalize(out)
+    return normalize(out), ok

@@ -333,9 +333,9 @@ class Toroidal(Geometry):
         Rs = jnp.where(is_inf, 1.0, R)
         inside = (Rs - z_y) ** 2 - x**2
         ok = inside >= 0
-        root = jnp.sqrt(jnp.where(ok, inside, 1.0))
+        root = jnp.sqrt(jnp.where(ok, inside, 0.0)
+                        + jnp.where(ok, 0.0, 1e-12))
         z_tor = z_y + (Rs - z_y) - jnp.sign(Rs - z_y) * root
-        z_tor = jnp.where(ok, z_tor, jnp.nan)
         return jnp.where(is_inf, z_y, z_tor)
 
     def sag_grad(self, p, x, y):

@@ -20,10 +20,12 @@ def _conic_sag(radius, conic, x, y):
     r2 = x**2 + y**2
     arg = 1.0 - (1.0 + conic) * r2 / R**2
     ok = arg >= 0
-    # double-where: finite value AND finite gradient in discarded branches
-    root = jnp.sqrt(jnp.where(ok, arg, 1.0))
+    # finite-clamped: out-of-domain points return the rim-clamped value
+    # instead of NaN so that downstream arithmetic keeps finite partials
+    # (validity is tracked by the intersection mask; NaN injection for
+    # reference parity happens once at the end of the trace).
+    root = jnp.sqrt(jnp.where(ok, arg, 0.0) + jnp.where(ok, 0.0, 1e-12))
     z = r2 / (R * (1.0 + root))
-    z = jnp.where(ok, z, jnp.nan)
     return jnp.where(is_plane, jnp.zeros_like(z), z)
 
 
@@ -36,8 +38,9 @@ def _conic_sag_grad(radius, conic, x, y):
     ok = arg >= 0
     root = jnp.sqrt(jnp.where(ok, arg, 1.0))
     denom = R * root
-    dfdx = jnp.where(ok, safe_div(x, denom), jnp.nan)
-    dfdy = jnp.where(ok, safe_div(y, denom), jnp.nan)
+    # finite-clamped (see _conic_sag): slope at the rim for out-of-domain
+    dfdx = safe_div(x, denom)
+    dfdy = safe_div(y, denom)
     zero = jnp.zeros_like(dfdx)
     return (jnp.where(is_plane, zero, dfdx), jnp.where(is_plane, zero, dfdy))
 

@@ -96,8 +96,19 @@ def rms_spot_size(model, params, surface_number, Hx, Hy, num_rays, wavelength,
                                record=True)
     x = hist.x[surface_number].ravel()
     y = hist.y[surface_number].ravel()
-    r2 = (x - jnp.mean(x)) ** 2 + (y - jnp.mean(y)) ** 2
-    return jnp.sqrt(jnp.mean(r2))
+    # finite-masked statistics: lost rays (miss/TIR -> NaN) drop out of the
+    # merit instead of poisoning it (matters at f32 where marginal rays can
+    # tip over the TIR boundary; identical to the reference when no rays
+    # are lost)
+    ok = jnp.isfinite(x) & jnp.isfinite(y)
+    w = ok.astype(x.dtype)
+    wsum = jnp.maximum(jnp.sum(w), 1.0)
+    xs = jnp.where(ok, x, 0.0)
+    ys = jnp.where(ok, y, 0.0)
+    mx = jnp.sum(xs * w) / wsum
+    my = jnp.sum(ys * w) / wsum
+    r2 = jnp.where(ok, (xs - mx) ** 2 + (ys - my) ** 2, 0.0)
+    return jnp.sqrt(jnp.sum(r2) / wsum)
 
 
 def OPD_difference(model, params, Hx, Hy, num_rays, wavelength,

@@ -98,6 +98,7 @@ class Optic:
         self.primary_wavelength_idx: int = 0
         self.polarization = "ignore"
         self.obj_space_telecentric = False
+        self.apodization = None         # callable (Px, Py) -> intensity
         self.constraints: list = []     # pickups + solves (param transforms)
         self._cache = None
         self._jit_cache: dict = {}
@@ -156,6 +157,12 @@ class Optic:
 
     def set_polarization(self, state):
         self.polarization = state
+        self._dirty()
+
+    def set_apodization(self, apodization):
+        """Pupil apodization applied at ray generation (reference
+        optic_updater.set_apodization); see system/apodization.py."""
+        self.apodization = apodization
         self._dirty()
 
     # -- prescription edit helpers (reference optic/optic_updater.py) ------
@@ -402,10 +409,12 @@ class Optic:
         Px, Py = generate_distribution(distribution, num_rays)
         key = ("trace", distribution, int(Px.shape[0]),
                jnp.shape(jnp.atleast_1d(Hx)), record)
+        apod = self.apodization
         if key not in self._jit_cache:
             self._jit_cache[key] = jax.jit(
                 lambda p, hx, hy, wl, px, py: real_trace.trace(
-                    model, p, hx, hy, wl, px, py, record=record))
+                    model, p, hx, hy, wl, px, py, record=record,
+                    apodization=apod))
         return self._jit_cache[key](params, Hx, Hy, wavelength, Px, Py)
 
     def trace_generic(self, Hx, Hy, Px, Py, wavelength=None,

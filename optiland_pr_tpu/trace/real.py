@@ -40,13 +40,21 @@ def _post_material(model: OpticModel, params, k: int):
 
 
 def trace_surface(model: OpticModel, params, k: int, rays: R.Rays,
-                  positions, key=None, wl_scalar=None) -> R.Rays:
+                  positions, key=None, wl_scalar=None, valid=None):
     """Trace rays through surface k (reference standard_surface.py:186-233).
 
     ``wl_scalar``: when the whole bundle shares one wavelength, material
     dispersion evaluates on the scalar (hoisted by XLA to one constant per
     surface) instead of per-ray — per-ray table interpolation means gather
     ops, which are slow on TPU.
+
+    Returns (rays, valid). Lost rays (missed surface / TIR / evanescent
+    order) keep *finite* placeholder values and are flagged in ``valid``;
+    trace_system injects NaN once at the end for reference parity
+    (real_rays.py leaves NaN in place). Keeping every intermediate finite
+    is what keeps reverse-mode gradients NaN-free when rays are lost:
+    a cotangent of zero times a NaN partial is still NaN, so NaN must
+    never enter multiplicative arithmetic mid-trace.
     """
     spec = model.surfaces[k]
     sp = params["surfaces"][k]
@@ -67,6 +75,9 @@ def trace_surface(model: OpticModel, params, k: int, rays: R.Rays,
     # ---- intersect -------------------------------------------------------
     t = spec.geometry.distance(sp["geom"], rays.x, rays.y, rays.z,
                                rays.L, rays.M, rays.N)
+    ok_t = jnp.isfinite(t)
+    t = jnp.where(ok_t, t, 0.0)
+    valid = ok_t if valid is None else (valid & ok_t)
 
     # ---- propagate through pre-material ---------------------------------
     mat1, mp1 = _pre_material(model, params, k)
@@ -90,12 +101,13 @@ def trace_surface(model: OpticModel, params, k: int, rays: R.Rays,
         nx, ny, nz = spec.geometry.normal(sp["geom"], rays.x, rays.y)
         L0, M0, N0 = rays.L, rays.M, rays.N  # pre-interaction directions
         if spec.is_reflective:
-            rays = R.reflect(rays, nx, ny, nz)
+            rays, ok_i = R.reflect(rays, nx, ny, nz)
             n2 = n1
         else:
             mat2, mp2 = _post_material(model, params, k)
             n2 = mat2.n(mp2, wl)
-            rays = R.refract(rays, nx, ny, nz, n1, n2)
+            rays, ok_i = R.refract(rays, nx, ny, nz, n1, n2)
+        valid = valid & ok_i
 
         coating = spec.coating
         # scalar-intensity coating (reference coatings.py SimpleCoating)
@@ -144,9 +156,10 @@ def trace_surface(model: OpticModel, params, k: int, rays: R.Rays,
         gp = sp["geom"]
         fx, fy, fz = spec.geometry.grating_vector(gp, rays.x, rays.y)
         period = gp["grating_period"] / jnp.sqrt(fx**2 + fy**2)
-        rays = R.grating_diffract(rays, nx, ny, nz, fx, fy, fz,
-                                  gp["grating_order"], period, n1, n2,
-                                  spec.is_reflective)
+        rays, ok_i = R.grating_diffract(rays, nx, ny, nz, fx, fy, fz,
+                                        gp["grating_order"], period, n1, n2,
+                                        spec.is_reflective)
+        valid = valid & ok_i
     elif spec.interaction == "phase":
         # reference interactions/phase_interaction_model.py: tangential
         # wavevector + surface-projected phase gradient; normal component
@@ -169,7 +182,9 @@ def trace_surface(model: OpticModel, params, k: int, rays: R.Rays,
         R_sq = (n2 * k0) ** 2 - (kpx**2 + kpy**2 + kpz**2)
         evanescent = R_sq < 0
         rays = R.clip(rays, evanescent)
-        alpha = jnp.sqrt(jnp.maximum(R_sq, 0.0))
+        # double-where: sqrt'(0)=inf would poison grads at the clamp
+        alpha = jnp.sqrt(jnp.where(evanescent, 1.0, jnp.maximum(R_sq, 0.0)))
+        alpha = jnp.where(evanescent, 0.0, alpha)
         if spec.is_reflective:
             alpha = -alpha
         kox = kpx + alpha * nx
@@ -193,7 +208,20 @@ def trace_surface(model: OpticModel, params, k: int, rays: R.Rays,
     else:
         rays = rays.replace(z=rays.z + tz)
 
-    return rays
+    return rays, valid
+
+
+def _nanify(rays: R.Rays, valid) -> R.Rays:
+    """Inject NaN into the kinematic state of invalid (lost) rays, matching
+    the reference's NaN-in-place convention (rays/real_rays.py sqrt of
+    negative discriminants). Done ONCE at the end of the trace: the NaN is a
+    where-selected constant, so the cotangent to the finite branch is cleanly
+    masked and parameter gradients stay finite."""
+    def m(v):
+        return jnp.where(valid, v, jnp.nan)
+    return rays.replace(x=m(rays.x), y=m(rays.y), z=m(rays.z),
+                        L=m(rays.L), M=m(rays.M), N=m(rays.N),
+                        opd=m(rays.opd))
 
 
 def trace_system(model: OpticModel, params, rays: R.Rays, record: bool = False,
@@ -202,10 +230,14 @@ def trace_system(model: OpticModel, params, rays: R.Rays, record: bool = False,
     (reference surfaces/surface_group.py:232-244).
 
     Returns (rays, history) where history stacks per-surface recorded state
-    [num_surfaces, n_rays] per field (None when record=False).
+    [num_surfaces, n_rays] per field (None when record=False). Lost rays
+    (missed surface / TIR) come back with NaN state, as in the reference;
+    internally they are traced with finite placeholders so gradients of the
+    surviving rays stay NaN-free (see trace_surface).
     """
     positions = positions_from_params(params)
-    history = [rays] if record else None
+    valid = jnp.ones_like(rays.x, dtype=bool)
+    snaps = [(rays, valid)] if record else None
     needs_key = any(s.bsdf is not None for s in model.surfaces)
     if needs_key and key is None:
         import jax
@@ -215,22 +247,34 @@ def trace_system(model: OpticModel, params, rays: R.Rays, record: bool = False,
         import jax
         keys = jax.random.split(key, model.num_surfaces)
     for k in range(max(1, skip), model.num_surfaces):
-        rays = trace_surface(model, params, k, rays, positions,
-                             key=None if keys is None else keys[k],
-                             wl_scalar=wl_scalar)
+        rays, valid = trace_surface(model, params, k, rays, positions,
+                                    key=None if keys is None else keys[k],
+                                    wl_scalar=wl_scalar, valid=valid)
         if record:
-            history.append(rays)
+            snaps.append((rays, valid))
+    history = None
     if record:
         import jax
-        history = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *history)
-    return rays, history
+        nanified = [_nanify(r, v) for r, v in snaps]
+        history = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *nanified)
+    return _nanify(rays, valid), history
 
 
 def _final_image_propagation(model, params, rays):
     """Propagate past the image surface by its thickness (reference
-    raytrace/real_ray_tracer.py:85-92); a no-op for thickness 0."""
+    raytrace/real_ray_tracer.py:85-92); a no-op for thickness 0.
+
+    Lost rays arrive here with NaN direction; the multiplicand is sanitized
+    so d(x)/d(t_img) never mixes NaN into the (shared, reduced-over-rays)
+    thickness gradient. Positions stay NaN via the additive term."""
     t_img = params["surfaces"][-1]["thickness"]
-    return R.propagate(rays, t_img)
+    ok = jnp.isfinite(rays.L) & jnp.isfinite(rays.M) & jnp.isfinite(rays.N)
+    Ls = jnp.where(ok, rays.L, 0.0)
+    Ms = jnp.where(ok, rays.M, 0.0)
+    Ns = jnp.where(ok, rays.N, 0.0)
+    return rays.replace(x=rays.x + t_img * Ls,
+                        y=rays.y + t_img * Ms,
+                        z=rays.z + t_img * Ns)
 
 
 def trace(model: OpticModel, params, Hx, Hy, wavelength, Px, Py,

@@ -138,3 +138,63 @@ def test_thickness_and_conic_variables():
     assert np.isfinite(np.asarray(g)).all()
     res = OptimizerGeneric(problem).optimize(maxiter=50)
     assert abs(float(lens.paraxial.f2()) - 51.0) < 0.1
+
+
+def test_opd_difference_and_aoi_operands(ref_optiland):
+    from optiland.samples.objectives import CookeTriplet as RefCooke
+    from optiland.optimization.operand.ray import RayOperand
+    from optiland_pr_tpu.optimize.operands import METRIC_DICT
+    ref = RefCooke()
+    lens = CookeTriplet()
+    model, params = lens.build()
+    for hx, hy in [(0, 0), (0, 0.7)]:
+        want = float(RayOperand.OPD_difference(ref, hx, hy, 3, 0.55))
+        got = float(METRIC_DICT["OPD_difference"](model, params, hx, hy, 3,
+                                                  0.55))
+        np.testing.assert_allclose(got, want, rtol=1e-9)
+    want = float(RayOperand.AOI(ref, 1, 0.0, 1.0, 0.0, 0.8, 0.55))
+    got = float(METRIC_DICT["AOI"](model, params, 1, 0.0, 1.0, 0.0, 0.8,
+                                   0.55))
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_lost_ray_gradients_finite():
+    """Rays lost mid-trace (TIR / missed surface) must not poison parameter
+    gradients: internals stay finite, NaN is injected only at trace end, and
+    the finite-masked rms operand ignores the lost rays (reference cannot do
+    this — its torch graph NaNs out, see BENCHMARKS.md)."""
+    import jax
+    from optiland_pr_tpu.system.optic import Optic
+
+    lens = Optic()
+    lens.add_surface(index=0, thickness=np.inf)
+    # steep singlet: marginal rays at full field TIR / miss the second surface
+    lens.add_surface(index=1, radius=6.0, thickness=5.0, material="N-SF11",
+                     is_stop=True)
+    lens.add_surface(index=2, radius=7.0, thickness=10.0)
+    lens.add_surface(index=3)
+    lens.set_aperture("EPD", 11.0)
+    lens.set_field_type("angle")
+    lens.add_field(0, 30.0)
+    lens.add_wavelength(0.55, is_primary=True)
+
+    model, params = lens.build()
+    from optiland_pr_tpu.trace.real import trace
+    from optiland_pr_tpu.core.distributions import get_distribution
+    Px, Py = get_distribution("hexapolar", 6)
+    out = trace(model, params, 0.0, 1.0, 0.55, Px, Py)
+    n_lost = int(np.sum(~np.isfinite(np.asarray(out.x))))
+    assert n_lost > 0, "test premise: some rays must be lost"
+    assert n_lost < out.x.shape[-1], "test premise: some rays must survive"
+
+    problem = OptimizationProblem(lens)
+    problem.add_operand("rms_spot_size", target=0.0, weight=1.0,
+                        input_data={"surface_number": 3, "Hx": 0.0,
+                                    "Hy": 1.0, "num_rays": 6,
+                                    "wavelength": 0.55})
+    problem.add_variable("radius", surface_number=1)
+    problem.add_variable("radius", surface_number=2)
+    v, g = problem.value_and_grad(problem.x0())
+    assert np.isfinite(float(v))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(np.abs(np.asarray(g)).max()) > 0
