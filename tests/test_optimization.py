@@ -180,8 +180,8 @@ def test_lost_ray_gradients_finite():
 
     model, params = lens.build()
     from optiland_pr_tpu.trace.real import trace
-    from optiland_pr_tpu.core.distributions import get_distribution
-    Px, Py = get_distribution("hexapolar", 6)
+    from optiland_pr_tpu.core.distributions import generate_distribution
+    Px, Py = generate_distribution("hexapolar", 6)
     out = trace(model, params, 0.0, 1.0, 0.55, Px, Py)
     n_lost = int(np.sum(~np.isfinite(np.asarray(out.x))))
     assert n_lost > 0, "test premise: some rays must be lost"
