@@ -199,3 +199,90 @@ def test_plane_distance():
                    jnp.asarray([-5.0]), jnp.asarray([0.0]),
                    jnp.asarray([0.0]), jnp.asarray([1.0]))
     np.testing.assert_allclose(np.asarray(t), [5.0])
+
+
+# -- NURBS: geometry + fitting (reference geometries/nurbs/) -----------------
+
+def test_nurbs_fit_matches_reference(ref_optiland):
+    """approximate_surface parity vs the reference (nurbs_fitting.py:19)."""
+    from optiland.geometries.nurbs import approximate_surface as ref_fit
+    from optiland_pr_tpu.geometry.nurbs_fit import approximate_surface
+
+    size_u = size_v = 12
+    radius, conic = 60.0, -0.4
+    x = np.linspace(-10, 10, size_u)
+    y = np.linspace(-10, 10, size_v)
+    Xg, Yg = np.meshgrid(x, y, indexing="ij")
+    r2 = Xg**2 + Yg**2
+    Z = r2 / (radius * (1 + np.sqrt(1 - (1 + conic) * r2 / radius**2)))
+    pts = np.stack([Xg, Yg, Z], axis=-1)
+
+    flat = pts.reshape(-1, 3).tolist()   # reference's v-fastest flat list
+    ref_ctrl, du, dv, ncu, ncv, kv_u, kv_v = ref_fit(
+        flat, size_u, size_v, 3, 3)
+    ref_ctrl = np.asarray(ref_ctrl).reshape(ncu, ncv, 3)
+
+    ctrl, my_ku, my_kv = approximate_surface(pts, size_u, size_v, 3, 3)
+    np.testing.assert_allclose(my_ku, np.asarray(kv_u), atol=1e-12)
+    np.testing.assert_allclose(my_kv, np.asarray(kv_v), atol=1e-12)
+    np.testing.assert_allclose(ctrl, ref_ctrl, rtol=1e-9, atol=1e-10)
+
+
+def test_nurbs_fitted_conic_sag_and_trace():
+    """A NURBS net fitted to a conic reproduces its sag and intersections."""
+    from optiland_pr_tpu.geometry.nurbs import NurbsGeometry
+    from optiland_pr_tpu.geometry.nurbs_fit import nurbs_params_from_standard
+
+    radius, conic = 60.0, -0.4
+    kw = nurbs_params_from_standard(radius, conic, norm_x=12.0, norm_y=12.0,
+                                    size_u=40, size_v=40)
+    ncu, ncv = kw["control_points"].shape[1:3]
+    g = NurbsGeometry(ncu, ncv, kw["u_degree"], kw["v_degree"])
+    p = g.default_params(control_points=kw["control_points"],
+                         weights=kw["weights"], u_knots=kw["u_knots"],
+                         v_knots=kw["v_knots"])
+
+    ref = StandardGeometry()
+    pr = ref.default_params(radius=radius, conic=conic)
+
+    xs = jnp.asarray(RNG.uniform(-8, 8, 64))
+    ys = jnp.asarray(RNG.uniform(-8, 8, 64))
+    np.testing.assert_allclose(np.asarray(g.sag(p, xs, ys)),
+                               np.asarray(ref.sag(pr, xs, ys)),
+                               atol=5e-6)
+
+    # oblique ray intersection distances agree with the closed form
+    n = 32
+    x0 = jnp.asarray(RNG.uniform(-5, 5, n))
+    y0 = jnp.asarray(RNG.uniform(-5, 5, n))
+    z0 = jnp.full((n,), -20.0)
+    L = jnp.full((n,), 0.08)
+    M = jnp.full((n,), -0.05)
+    Nz = jnp.sqrt(1 - L**2 - M**2)
+    t_my = np.asarray(g.distance(p, x0, y0, z0, L, M, Nz))
+    t_ref = np.asarray(ref.distance(pr, x0, y0, z0, L, M, Nz))
+    np.testing.assert_allclose(t_my, t_ref, atol=1e-5)
+
+
+def test_nurbs_fit_arbitrary_sag():
+    """Beyond-reference: fit any sag callable (here an even asphere)."""
+    from optiland_pr_tpu.geometry.nurbs import NurbsGeometry
+    from optiland_pr_tpu.geometry.nurbs_fit import fit_nurbs_sag
+
+    R, k, c4 = 80.0, 0.0, 1e-6
+
+    def sag(x, y):
+        r2 = x**2 + y**2
+        return (r2 / (R * (1 + np.sqrt(1 - (1 + k) * r2 / R**2)))
+                + c4 * r2**2)
+
+    kw = fit_nurbs_sag(sag, 10.0, 10.0, size_u=40, size_v=40)
+    ncu, ncv = kw["control_points"].shape[1:3]
+    g = NurbsGeometry(ncu, ncv)
+    p = g.default_params(control_points=kw["control_points"],
+                         weights=kw["weights"], u_knots=kw["u_knots"],
+                         v_knots=kw["v_knots"])
+    xs = jnp.asarray(RNG.uniform(-7, 7, 50))
+    ys = jnp.asarray(RNG.uniform(-7, 7, 50))
+    np.testing.assert_allclose(np.asarray(g.sag(p, xs, ys)),
+                               sag(np.asarray(xs), np.asarray(ys)), atol=5e-6)
