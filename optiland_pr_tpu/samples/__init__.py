@@ -4,7 +4,8 @@ from .catalog import (EyepieceErfle, HubbleTelescope, Edmund_49_847,
                       SingletStopSurf2, TelescopeDoublet, CementedAchromat,
                       AsphericSinglet, InfraredTriplet, InfraredTripletF4,
                       UVProjectionLens, TelescopeObjective48Inch, HeliarLens,
-                      PetzvalLens, Telephoto, ObjectiveUS008879901)
+                      PetzvalLens, Telephoto, ObjectiveUS008879901,
+                      NavarroWideAngleEye)
 
 __all__ = ["CookeTriplet", "DoubleGauss", "TripletTelescopeObjective",
            "ReverseTelephoto", "TessarLens", "LensWithFieldCorrector",
@@ -12,4 +13,5 @@ __all__ = ["CookeTriplet", "DoubleGauss", "TripletTelescopeObjective",
            "SingletStopSurf2", "TelescopeDoublet", "CementedAchromat",
            "AsphericSinglet", "InfraredTriplet", "InfraredTripletF4",
            "UVProjectionLens", "TelescopeObjective48Inch", "HeliarLens",
-           "PetzvalLens", "Telephoto", "ObjectiveUS008879901"]
+           "PetzvalLens", "Telephoto", "ObjectiveUS008879901",
+           "NavarroWideAngleEye"]

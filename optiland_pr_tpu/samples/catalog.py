@@ -13,7 +13,8 @@ __all__ = ["EyepieceErfle", "HubbleTelescope", "Edmund_49_847",
            "SingletStopSurf2", "TelescopeDoublet", "CementedAchromat",
            "AsphericSinglet", "InfraredTriplet", "InfraredTripletF4",
            "UVProjectionLens", "TelescopeObjective48Inch", "HeliarLens",
-           "PetzvalLens", "Telephoto", "ObjectiveUS008879901"]
+           "PetzvalLens", "Telephoto", "ObjectiveUS008879901",
+           "NavarroWideAngleEye"]
 
 _FRAUNHOFER = [(0.48613270, False), (0.58756180, True), (0.65627250, False)]
 
@@ -338,3 +339,32 @@ def ObjectiveUS008879901() -> Optic:
     lens.add_surface(index=24, radius=jnp.inf, thickness=3.15317838)
     lens.add_surface(index=25)
     return _finish(lens, "imageFNO", 2.0, [0.0, 7.574, 10.82])
+
+
+def NavarroWideAngleEye() -> Optic:
+    """Navarro wide-angle schematic eye at 543 nm (reference
+    samples/miscellaneous.py:10; Escudero-Sanz & Navarro 1999,
+    doi:10.1364/JOSAA.16.001881). Exercises the float_by_stop_size
+    system aperture and a curved image surface (retina)."""
+    cornea = IdealMaterial(1.3777)
+    aqueous = IdealMaterial(1.3391)
+    lens_mat = IdealMaterial(1.4222)
+    vitreous = IdealMaterial(1.3377)
+    lens = Optic(name="Navarro Wide-Angle Eye")
+    lens.add_surface(index=0, radius=jnp.inf, thickness=jnp.inf)
+    lens.add_surface(index=1, radius=7.72, thickness=0.55, conic=-0.26,
+                     material=cornea)
+    lens.add_surface(index=2, radius=6.5, thickness=3.05, material=aqueous)
+    lens.add_surface(index=3, radius=jnp.inf, thickness=0.0, is_stop=True,
+                     material=aqueous)
+    lens.add_surface(index=4, radius=10.2, thickness=4.0, conic=-3.1316,
+                     material=lens_mat)
+    lens.add_surface(index=5, radius=-6.0, thickness=16.3203, conic=-1.0,
+                     material=vitreous)
+    lens.add_surface(index=6, radius=-12.0, material=vitreous)
+    lens.set_aperture(aperture_type="float_by_stop_size", value=3.0)
+    lens.set_field_type(field_type="angle")
+    for y in (0, 15, 30, 45, 60):
+        lens.add_field(y=y)
+    lens.add_wavelength(value=0.543, is_primary=True)
+    return lens

@@ -23,6 +23,7 @@ PAIRS = [
     ("InfraredTriplet", "infrared", "InfraredTriplet"),
     ("InfraredTripletF4", "infrared", "InfraredTripletF4"),
     ("UVProjectionLens", "lithography", "UVProjectionLens"),
+    ("NavarroWideAngleEye", "miscellaneous", "NavarroWideAngleEye"),
 ]
 
 
@@ -43,7 +44,8 @@ def test_sample_paraxial_parity(ref_optiland, our_name, ref_mod, ref_name):
 @pytest.mark.parametrize("our_name,ref_mod,ref_name",
                          [p for p in PAIRS
                           if p[0] in ("HubbleTelescope", "AsphericSinglet",
-                                      "PetzvalLens", "UVProjectionLens")])
+                                      "PetzvalLens", "UVProjectionLens",
+                                      "NavarroWideAngleEye")])
 def test_sample_trace_parity(ref_optiland, our_name, ref_mod, ref_name):
     """Real-ray parity for the structurally interesting samples (mirrors with
     obscuration, aspheric, scaled system, telecentric lithography lens)."""
