@@ -34,6 +34,58 @@ def _unjson(v):
     return v
 
 
+def _material_to_json(mat):
+    """Serialize an add_surface material spec. Strings/numbers/None pass
+    through; MaterialModel instances (ideal/abbe/grin) become tagged dicts
+    (the reference serializes materials through per-class to_dict,
+    optiland/materials/base.py)."""
+    from ..materials import MaterialModel
+    if mat is None or isinstance(mat, (str, int, float)):
+        return mat
+    if isinstance(mat, tuple) and not isinstance(mat[0], MaterialModel):
+        return list(mat)
+    if isinstance(mat, MaterialModel):
+        model, prm = mat, mat.default_params()
+    else:
+        model, prm = mat
+
+    def scal(d):
+        return {k: (scal(v) if isinstance(v, dict)
+                    else np.asarray(v).tolist()) for k, v in d.items()}
+
+    out = {"__material__": model.kind, "params": scal(prm)}
+    if model.kind == "grin":
+        out["base_kind"] = model.base.kind
+        out["n_steps"] = model.n_steps
+        out["overshoot"] = model.overshoot
+    return out
+
+
+def _material_from_json(mat):
+    """Inverse of _material_to_json."""
+    if not isinstance(mat, dict) or "__material__" not in mat:
+        return tuple(mat) if isinstance(mat, list) else mat
+    from ..materials import AbbeMaterial, GrinMaterial, IdealMaterial
+    kind = mat["__material__"]
+    prm = mat.get("params", {})
+    if kind == "ideal":
+        m = IdealMaterial()
+        return (m, m.default_params(**prm))
+    if kind == "abbe":
+        m = AbbeMaterial()
+        return (m, m.default_params(**prm))
+    if kind == "grin":
+        base_prm = prm.pop("base", {})
+        if mat.get("base_kind", "ideal") == "abbe":
+            base = AbbeMaterial()
+        else:
+            base = IdealMaterial()
+        m = GrinMaterial(base, n_steps=mat.get("n_steps", 64),
+                         overshoot=mat.get("overshoot", 1.5))
+        return (m, m.default_params(**prm, **base_prm))
+    raise ValueError(f"Cannot deserialize material kind {kind!r}")
+
+
 def optic_to_dict(optic: Optic) -> dict:
     """Serialize the builder prescription (native schema, version 1)."""
     surfaces = []
@@ -42,8 +94,7 @@ def optic_to_dict(optic: Optic) -> dict:
                  if k not in ("geom_kw", "coating", "bsdf")}
         entry["geom_kw"] = {k: _jsonable(v) for k, v in e["geom_kw"].items()
                             if k not in ("phase_profile",)}
-        if isinstance(e["material"], tuple):
-            entry["material"] = list(e["material"])
+        entry["material"] = _material_to_json(e["material"])
         if e["coating"] is not None:
             entry["coating"] = getattr(e["coating"], "kind", str(e["coating"]))
         surfaces.append(entry)
@@ -70,9 +121,7 @@ def optic_from_dict(data: dict) -> Optic:
     optic = Optic(name=data.get("name"))
     for e in data["surfaces"]:
         kw = dict(e.get("geom_kw", {}))
-        mat = e.get("material")
-        if isinstance(mat, list):
-            mat = tuple(mat)
+        mat = _material_from_json(e.get("material"))
         optic.add_surface(
             surface_type=e.get("surface_type", "standard"),
             radius=_unjson(e.get("radius", float("inf"))),

@@ -89,6 +89,15 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
 
     is_plane/is_refl/absorbing are STATIC (baked from the model at build):
     the unrolled loop emits only the ops each surface actually needs.
+
+    Op-count notes (this kernel is VPU-compute-bound, not HBM-bound):
+    - reflection R = d - 2(d.n)n is invariant under n -> -n, so the
+      normal-alignment pass (sign + 3 muls) is skipped entirely;
+    - refraction folds the alignment sign into a single multiply:
+      with s = sign(d.n), w = s*sqrt(disc) - u*(d.n) reproduces the
+      aligned-normal update u*d + n*w exactly;
+    - the quadratic uses the half-b form (disc/4), saving the 2x/4x scales;
+    - normals use one rsqrt instead of sqrt + guarded reciprocal.
     """
     radius_inv, conic, pos_z, n1, n2, _, _, alpha = (
         c[0], c[1], c[2], c[3], c[4], c[5], c[6], c[7])
@@ -101,14 +110,14 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
         t = -z / N
     else:
         a = (conic * N * N + 1.0) * radius_inv
-        b = 2.0 * ((conic * N * z + L * x + M * y + N * z) * radius_inv - N)
+        bh = (conic * N * z + L * x + M * y + N * z) * radius_inv - N
         cc = (conic * z * z + x * x + y * y + z * z) * radius_inv - 2.0 * z
-        disc = b * b - 4.0 * a * cc
+        disc = bh * bh - a * cc
         ok = disc >= 0
         sq = jnp.sqrt(jnp.where(ok, disc, 1.0))
-        inv_2a = 0.5 / jnp.where(jnp.abs(a) > _EPS, a, _EPS)
-        t1 = (-b + sq) * inv_2a
-        t2 = (-b - sq) * inv_2a
+        inv_a = 1.0 / jnp.where(jnp.abs(a) > _EPS, a, _EPS)
+        t1 = (sq - bh) * inv_a
+        t2 = (-sq - bh) * inv_a
         z1 = z + t1 * N
         z2 = z + t2 * N
         t = jnp.where(jnp.abs(z1) <= jnp.abs(z2), t1, t2)
@@ -122,41 +131,33 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
     if absorbing:
         inten = inten * jnp.exp(-alpha * t * 1e3)
 
-    if is_plane and not is_refl:
-        # flat interface: direction unchanged only if n1 == n2; apply Snell
-        # with normal (0, 0, 1)
-        dot = jnp.abs(N)
+    if is_plane and is_refl:
+        # flat mirror, normal (0, 0, -1): d -> d - 2(d.n)n flips N only
+        N = -N
+    elif is_plane:
+        # flat interface: Snell with normal (0, 0, 1)
         u = n1 / n2
-        disc_r = 1.0 - u * u * (1.0 - dot * dot)
+        disc_r = 1.0 - u * u * (1.0 - N * N)
         ok_r = disc_r >= 0
         root_r = jnp.where(ok_r, jnp.sqrt(jnp.where(ok_r, disc_r, 1.0)),
                            jnp.nan)
-        sgnN = jnp.sign(N)
         L = u * L
         M = u * M
-        N = sgnN * root_r
+        N = jnp.sign(N) * root_r
     else:
         # ---- normal (dfdx = x * ci / sqrt(1-(1+k) ci^2 r^2)) -------------
         r2 = x * x + y * y
         arg = 1.0 - (1.0 + conic) * radius_inv * radius_inv * r2
-        root = jnp.sqrt(jnp.where(arg >= 0, arg, 1.0))
-        inv_root = 1.0 / jnp.where(jnp.abs(root) > _EPS, root, _EPS)
+        inv_root = jax.lax.rsqrt(jnp.where(arg > _EPS, arg, 1.0))
         dfdx = x * radius_inv * inv_root
         dfdy = y * radius_inv * inv_root
-        if is_plane:
-            dfdx = jnp.zeros_like(x)
-            dfdy = jnp.zeros_like(y)
         inv_mag = jax.lax.rsqrt(dfdx * dfdx + dfdy * dfdy + 1.0)
         nx = dfdx * inv_mag
         ny = dfdy * inv_mag
         nz = -inv_mag
 
-        # ---- align + refract/reflect (reference rays/real_rays.py:141-181)
+        # ---- refract/reflect, alignment-free (rays/real_rays.py:141-181)
         dot = L * nx + M * ny + N * nz
-        sgn = jnp.sign(dot)
-        nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
-        dot = jnp.abs(dot)
-
         if is_refl:
             two_dot = 2.0 * dot
             L = L - two_dot * nx
@@ -168,7 +169,7 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
             ok_r = disc_r >= 0
             root_r = jnp.where(ok_r, jnp.sqrt(jnp.where(ok_r, disc_r, 1.0)),
                                jnp.nan)
-            w = root_r - u * dot
+            w = jnp.sign(dot) * root_r - u * dot
             L = u * L + nx * w
             M = u * M + ny * w
             N = u * N + nz * w
@@ -241,11 +242,15 @@ def _pallas_call_2d(consts, x, y, z, L, M, N, inten, opd,
 
 
 def _gen_kernel(gen_ref, consts_ref, px_ref, py_ref,
-                xo, yo, zo, lo, mo, no, io, oo, *, flags: tuple):
+                xo, yo, zo, lo, mo, no, io, oo, *, flags: tuple,
+                final_prop: bool = False):
     """Fused ray-generation + trace: inputs are just the pupil samples.
 
-    gen_ref row: [half_epd_vx, half_epd_vy, x_field, y_field, z0, epl]
+    gen_ref row: [half_epd_vx, half_epd_vy, x_field, y_field, z0, epl, t_img]
     (infinite-object angle-field aiming, reference rays/ray_generator.py:70-90).
+    With ``final_prop``, the post-image-surface propagation by the image
+    thickness (raytrace/real_ray_tracer.py:85-92) is fused in as well, so the
+    whole reference trace() pipeline is one kernel.
     """
     Px = px_ref[:]
     Py = py_ref[:]
@@ -276,6 +281,11 @@ def _gen_kernel(gen_ref, consts_ref, px_ref, py_ref,
         x, y, z, L, M, N, inten, opd = _surface_step(
             c, x, y, z, L, M, N, inten, opd, is_plane=is_plane,
             is_refl=is_refl, absorbing=absorbing)
+    if final_prop:
+        t_img = gen_ref[0, 6]
+        x = x + t_img * L
+        y = y + t_img * M
+        z = z + t_img * N
     xo[:] = x
     yo[:] = y
     zo[:] = z
@@ -286,8 +296,10 @@ def _gen_kernel(gen_ref, consts_ref, px_ref, py_ref,
     oo[:] = opd
 
 
-@functools.partial(jax.jit, static_argnames=("flags", "block_rows"))
-def _pallas_gen_trace_2d(gen, consts, Px, Py, flags: tuple, block_rows: int):
+@functools.partial(jax.jit,
+                   static_argnames=("flags", "block_rows", "final_prop"))
+def _pallas_gen_trace_2d(gen, consts, Px, Py, flags: tuple, block_rows: int,
+                         final_prop: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -300,7 +312,8 @@ def _pallas_gen_trace_2d(gen, consts, Px, Py, flags: tuple, block_rows: int):
     const_spec = pl.BlockSpec((len(flags), 8), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct(Px.shape, Px.dtype)] * 8
-    kernel = functools.partial(_gen_kernel, flags=flags)
+    kernel = functools.partial(_gen_kernel, flags=flags,
+                               final_prop=final_prop)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -312,10 +325,12 @@ def _pallas_gen_trace_2d(gen, consts, Px, Py, flags: tuple, block_rows: int):
 
 def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
                            Hx: float = 0.0, Hy: float = 0.0,
-                           block_rows: int = 256, flags: tuple | None = None):
+                           block_rows: int = 128, flags: tuple | None = None,
+                           final_prop: bool = False):
     """Fused generation + trace for infinite-object angle-field systems: the
     kernel's only array inputs are the normalized pupil samples (8 bytes/ray
-    HBM read), everything else lives in VMEM."""
+    HBM read), everything else lives in VMEM. ``final_prop`` fuses the
+    image-thickness propagation too (the full reference trace() pipeline)."""
     from ..trace.paraxial import Paraxial
     from ..system.model import positions_from_params
     from ..core.rays import Rays
@@ -338,8 +353,9 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
     xf = -jnp.tan(fx) * (offset + EPL)
     yf = -jnp.tan(fy) * (offset + EPL)
     z0s = pos[1] - offset
+    t_img = jnp.reshape(params["surfaces"][-1]["thickness"], ())
     gen = jnp.stack([EPD / 2, EPD / 2, xf, yf, z0s, EPL,
-                     jnp.zeros(()), jnp.zeros(())]).astype(jnp.float32)
+                     t_img, jnp.zeros(())]).astype(jnp.float32)
     gen = gen.reshape(1, 8)
 
     n = Px.shape[-1]
@@ -354,7 +370,8 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
         return a.reshape(rows, lanes)
 
     out = _pallas_gen_trace_2d(gen, consts, shape(Px), shape(Py),
-                               flags=flags, block_rows=block_rows)
+                               flags=flags, block_rows=block_rows,
+                               final_prop=final_prop)
     x, y, z, L, M, N, inten, opd = [o.reshape(-1)[:n] for o in out]
     wl = jnp.full_like(x, jnp.asarray(wavelength, jnp.float32))
     return Rays(x=x, y=y, z=z, L=L, M=M, N=N, intensity=inten,
@@ -362,7 +379,7 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
 
 
 def pallas_trace_conic(model: OpticModel, params, rays, wavelength,
-                       block_rows: int = 256, flags: tuple | None = None):
+                       block_rows: int = 128, flags: tuple | None = None):
     """Trace a ray bundle through an all-conic system with the fused kernel.
 
     Returns a Rays pytree with the final state (positions at the image

@@ -22,6 +22,7 @@ __all__ = ["MaterialModel", "IdealMaterial", "AbbeMaterial", "FormulaMaterial",
 
 class MaterialModel:
     kind: str = "base"
+    is_grin: bool = False  # GRIN media override (materials/grin.py)
 
     def default_params(self, **kw) -> dict:
         raise NotImplementedError

@@ -17,13 +17,12 @@ class HomogeneousPropagation:
 
 
 class GRINPropagation:
-    """Gradient-index propagation (reference propagation/grin.py:14-27:
-    placeholder raising NotImplementedError)."""
+    """Gradient-index propagation marker.
+
+    The reference leaves this unimplemented (propagation/grin.py:14-27 raises
+    NotImplementedError); here GRIN is fully implemented — declare a
+    :class:`~optiland_pr_tpu.materials.GrinMaterial` as a surface material and
+    the trace marches rays through it with Sharma-Ghatak RK4 (trace/grin.py).
+    """
 
     kind = "grin"
-
-    def __init__(self, *a, **k):
-        raise NotImplementedError(
-            "GRIN propagation is not implemented (parity with the reference, "
-            "optiland/propagation/grin.py). Planned: RK4 ray marching with "
-            "lax.scan over fixed step counts.")

@@ -72,24 +72,33 @@ def trace_surface(model: OpticModel, params, k: int, rays: R.Rays,
     else:
         rays = rays.replace(z=rays.z - tz)
 
-    # ---- intersect -------------------------------------------------------
-    t = spec.geometry.distance(sp["geom"], rays.x, rays.y, rays.z,
-                               rays.L, rays.M, rays.N)
-    ok_t = jnp.isfinite(t)
-    t = jnp.where(ok_t, t, 0.0)
-    valid = ok_t if valid is None else (valid & ok_t)
-
-    # ---- propagate through pre-material ---------------------------------
     mat1, mp1 = _pre_material(model, params, k)
-    n1 = mat1.n(mp1, wl)
-    alpha = None
-    if mat1.absorbing:
-        kext = mat1.k(mp1, wl)
-        alpha = 4.0 * jnp.pi * kext / wl
-    rays = R.propagate(rays, t, alpha=alpha)
+    if getattr(mat1, "is_grin", False):
+        # ---- GRIN gap: RK4 march replaces intersect+propagate+OPD --------
+        # (the reference's unimplemented propagation/grin.py extension point)
+        from .grin import grin_march
+        dz_entry = positions[k] - positions[k - 1]
+        rays, ok_g, n1 = grin_march(spec.geometry, sp["geom"], mat1, mp1,
+                                    rays, wl, dz_entry)
+        valid = ok_g if valid is None else (valid & ok_g)
+    else:
+        # ---- intersect ---------------------------------------------------
+        t = spec.geometry.distance(sp["geom"], rays.x, rays.y, rays.z,
+                                   rays.L, rays.M, rays.N)
+        ok_t = jnp.isfinite(t)
+        t = jnp.where(ok_t, t, 0.0)
+        valid = ok_t if valid is None else (valid & ok_t)
 
-    # ---- OPD -------------------------------------------------------------
-    rays = rays.replace(opd=rays.opd + jnp.abs(t * n1))
+        # ---- propagate through pre-material ------------------------------
+        n1 = mat1.n(mp1, wl)
+        alpha = None
+        if mat1.absorbing:
+            kext = mat1.k(mp1, wl)
+            alpha = 4.0 * jnp.pi * kext / wl
+        rays = R.propagate(rays, t, alpha=alpha)
+
+        # ---- OPD ----------------------------------------------------------
+        rays = rays.replace(opd=rays.opd + jnp.abs(t * n1))
 
     # ---- physical aperture ----------------------------------------------
     if spec.aperture is not None:

@@ -246,3 +246,61 @@ def test_pallas_kernel_interpret_mode():
     opd = out[7].reshape(-1)
     np.testing.assert_allclose(np.asarray(opd), np.asarray(ref.opd),
                                rtol=1e-4, atol=2e-3)
+
+
+def test_pallas_gen_trace_kernel_interpret_mode():
+    """Fused generation+trace+final-propagation kernel vs the XLA pipeline
+    (pallas interpret mode, CPU)."""
+    import functools
+    from jax.experimental import pallas as pl
+    import optiland_pr_tpu.kernels.pallas_trace as ptmod
+    from optiland_pr_tpu.trace import real as real_trace
+    from optiland_pr_tpu.trace.raygen import generate_rays
+
+    model, params = CookeTriplet().build()
+    params32 = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, params)
+
+    n = 1024
+    rng = np.random.default_rng(1)
+    r = np.sqrt(rng.uniform(size=n))
+    th = rng.uniform(0, 2 * np.pi, size=n)
+    Px = jnp.asarray(r * np.cos(th), jnp.float32)
+    Py = jnp.asarray(r * np.sin(th), jnp.float32)
+
+    rays0 = generate_rays(model, params32, jnp.zeros_like(Px),
+                          jnp.zeros_like(Px), Px, Py, 0.55)
+    ref, _ = real_trace.trace_system(model, params32, rays0, wl_scalar=0.55)
+    ref = real_trace._final_image_propagation(model, params32, ref)
+
+    # assemble the same gen row / consts the TPU entry point builds, then run
+    # the kernel body through the interpreter
+    import optiland_pr_tpu.kernels.pallas_trace as pt
+    flags = pt.model_flags(model, params32)
+    consts = pt.pack_surface_constants(model, params32, 0.55)
+    from optiland_pr_tpu.trace.paraxial import Paraxial
+    from optiland_pr_tpu.system.model import positions_from_params
+    par = Paraxial(model, params32)
+    pos = positions_from_params(params32)
+    EPL, EPD = par.EPL(), par.EPD()
+    offset = EPD - jnp.min(pos[1:-1])
+    t_img = jnp.reshape(params32["surfaces"][-1]["thickness"], ())
+    gen = jnp.stack([EPD / 2, EPD / 2, jnp.zeros(()), jnp.zeros(()),
+                     pos[1] - offset, EPL, t_img,
+                     jnp.zeros(())]).astype(jnp.float32).reshape(1, 8)
+
+    rows, lanes = 8, 128
+    kernel = functools.partial(ptmod._gen_kernel, flags=flags,
+                               final_prop=True)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((rows, lanes), jnp.float32)] * 8,
+        interpret=True,
+    )(gen, consts, Px.reshape(rows, lanes), Py.reshape(rows, lanes))
+    np.testing.assert_allclose(np.asarray(out[0].reshape(-1)),
+                               np.asarray(ref.x), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out[1].reshape(-1)),
+                               np.asarray(ref.y), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out[7].reshape(-1)),
+                               np.asarray(ref.opd), rtol=1e-4, atol=2e-3)
