@@ -6,10 +6,12 @@ kernel keeps the ENTIRE surface stack's ray state in VMEM: the grid tiles the
 ray axis; each tile loads launch state once, loops over all surfaces in
 registers/VMEM, and writes final state once (SURVEY.md §7 stage 7).
 
-Scope: homogeneous conic stacks (plane/sphere/conic + refract/reflect) with
-per-surface scalar refractive indices — i.e. single-wavelength traces of
-all-spherical systems like the Cooke triplet / double Gauss benchmarks.
-The general path (NR aspheres, gratings, polarization) stays on XLA.
+Scope: homogeneous conic + even-asphere stacks (refract/reflect) with
+per-surface scalar refractive indices — single-wavelength traces of systems
+like the Cooke triplet / double Gauss / aspheric-singlet benchmarks. Aspheres
+intersect in-kernel: conic warm start + _NEWTON_ITERS fixed Newton steps
+(value path only; gradients use the XLA trace with implicit-diff Newton).
+The general path (freeforms, gratings, polarization) stays on XLA.
 
 Surface constants are packed into a [S, 8] array: the kernel receives it whole
 in VMEM and reads scalars per (statically unrolled) surface:
@@ -25,17 +27,21 @@ import numpy as np
 
 from ..system.model import OpticModel, positions_from_params
 
-__all__ = ["pack_surface_constants", "pallas_trace_conic", "supports_model",
-           "model_flags"]
+__all__ = ["pack_surface_constants", "pack_asphere_coeffs",
+           "pallas_trace_conic", "pallas_gen_trace_conic",
+           "supports_model", "model_flags"]
 
 _EPS = 1e-14
 
 
+_NEWTON_ITERS = 8  # fixed in-kernel Newton refinements for aspheres
+
+
 def supports_model(model: OpticModel) -> bool:
-    """True if every inner surface is a conic refract/reflect surface without
-    apertures/coatings/BSDFs (the fast-path contract)."""
+    """True if every inner surface is a conic or even-asphere refract/reflect
+    surface without apertures/coatings/BSDFs (the fast-path contract)."""
     for spec in model.surfaces[1:]:
-        if spec.geometry.kind not in ("standard", "plane"):
+        if spec.geometry.kind not in ("standard", "plane", "even_asphere"):
             return False
         if spec.interaction != "refract_reflect":
             return False
@@ -83,8 +89,53 @@ def pack_surface_constants(model: OpticModel, params, wavelength) -> jnp.ndarray
     return jnp.stack(rows).astype(jnp.float32)
 
 
+def pack_asphere_coeffs(model: OpticModel, params) -> jnp.ndarray:
+    """[S-1, Cmax] even-asphere coefficients, zero-padded; a [S-1, 8]-aligned
+    dummy when the system is all-conic (Pallas wants a real operand)."""
+    cmax = 1
+    for spec in model.surfaces[1:]:
+        if spec.geometry.kind == "even_asphere":
+            cmax = max(cmax, spec.geometry.num_terms)
+    cmax = max(8, ((cmax + 7) // 8) * 8)  # lane-friendly width
+    rows = []
+    for k in range(1, model.num_surfaces):
+        spec = model.surfaces[k]
+        row = jnp.zeros((cmax,), jnp.float32)
+        if spec.geometry.kind == "even_asphere" and spec.geometry.num_terms:
+            c = jnp.asarray(params["surfaces"][k]["geom"]["coefficients"],
+                            jnp.float32)
+            row = row.at[:c.shape[0]].set(c)
+        rows.append(row)
+    return jnp.stack(rows)
+
+
+def _asphere_sag_grad(radius_inv, conic, acoef, n_terms: int, xx, yy):
+    """Even-asphere sag + gradient (geometry/aspheres.py EvenAsphere):
+    z = r^2 ci / (1 + sqrt(1-(1+k) ci^2 r^2)) + sum C_i r^(2(i+1))."""
+    r2 = xx * xx + yy * yy
+    arg = 1.0 - (1.0 + conic) * radius_inv * radius_inv * r2
+    argc = jnp.where(arg > _EPS, arg, _EPS)
+    sq = jnp.sqrt(argc)
+    s = r2 * radius_inv / (1.0 + sq)
+    inv_sq = 1.0 / sq
+    gx = xx * radius_inv * inv_sq
+    gy = yy * radius_inv * inv_sq
+    term = r2
+    gterm = jnp.ones_like(r2)
+    for i in range(n_terms):
+        ci = acoef[i]
+        s = s + ci * term
+        kk = 2.0 * (i + 1)
+        gx = gx + kk * xx * ci * gterm
+        gy = gy + kk * yy * ci * gterm
+        term = term * r2
+        gterm = gterm * r2
+    return s, gx, gy
+
+
 def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
-                  is_refl: bool, absorbing: bool):
+                  is_refl: bool, absorbing: bool, acoef=None,
+                  n_terms: int = 0):
     """One conic surface interaction; all elementwise VPU ops.
 
     is_plane/is_refl/absorbing are STATIC (baked from the model at build):
@@ -123,6 +174,21 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
         t = jnp.where(jnp.abs(z1) <= jnp.abs(z2), t1, t2)
         t = jnp.where(ok, t, jnp.nan)
 
+    if n_terms > 0:
+        # ---- even asphere: conic warm start + fixed Newton refinement
+        # (geometry/base.py newton_distance, statically unrolled) ----------
+        for _ in range(_NEWTON_ITERS):
+            xx = x + t * L
+            yy = y + t * M
+            zz = z + t * N
+            s, gx, gy = _asphere_sag_grad(radius_inv, conic, acoef,
+                                          n_terms, xx, yy)
+            f = s - zz
+            dfdt = gx * L + gy * M - N
+            dfdt = jnp.where(jnp.abs(dfdt) > _EPS, dfdt,
+                             jnp.where(dfdt >= 0, _EPS, -_EPS))
+            t = t - f / dfdt
+
     # ---- propagate + OPD + absorption -----------------------------------
     x = x + t * L
     y = y + t * M
@@ -131,7 +197,30 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
     if absorbing:
         inten = inten * jnp.exp(-alpha * t * 1e3)
 
-    if is_plane and is_refl:
+    if n_terms > 0:
+        # ---- asphere normal + refract/reflect -----------------------------
+        _, gx, gy = _asphere_sag_grad(radius_inv, conic, acoef, n_terms, x, y)
+        inv_mag = jax.lax.rsqrt(gx * gx + gy * gy + 1.0)
+        nx = gx * inv_mag
+        ny = gy * inv_mag
+        nz = -inv_mag
+        dot = L * nx + M * ny + N * nz
+        if is_refl:
+            two_dot = 2.0 * dot
+            L = L - two_dot * nx
+            M = M - two_dot * ny
+            N = N - two_dot * nz
+        else:
+            u = n1 / n2
+            disc_r = 1.0 - u * u * (1.0 - dot * dot)
+            ok_r = disc_r >= 0
+            root_r = jnp.where(ok_r, jnp.sqrt(jnp.where(ok_r, disc_r, 1.0)),
+                               jnp.nan)
+            w = jnp.sign(dot) * root_r - u * dot
+            L = u * L + nx * w
+            M = u * M + ny * w
+            N = u * N + nz * w
+    elif is_plane and is_refl:
         # flat mirror, normal (0, 0, -1): d -> d - 2(d.n)n flips N only
         N = -N
     elif is_plane:
@@ -178,8 +267,8 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
     return x, y, z, L, M, N, inten, opd
 
 
-def _kernel(consts_ref, x_ref, y_ref, z_ref, l_ref, m_ref, n_ref, i_ref,
-            o_ref, xo, yo, zo, lo, mo, no, io, oo, *, flags: tuple):
+def _kernel(consts_ref, acoef_ref, x_ref, y_ref, z_ref, l_ref, m_ref, n_ref,
+            i_ref, o_ref, xo, yo, zo, lo, mo, no, io, oo, *, flags: tuple):
     x = x_ref[:]
     y = y_ref[:]
     z = z_ref[:]
@@ -188,11 +277,12 @@ def _kernel(consts_ref, x_ref, y_ref, z_ref, l_ref, m_ref, n_ref, i_ref,
     N = n_ref[:]
     inten = i_ref[:]
     opd = o_ref[:]
-    for k, (is_plane, is_refl, absorbing) in enumerate(flags):
+    for k, (is_plane, is_refl, absorbing, n_terms) in enumerate(flags):
         c = consts_ref[k, :]
+        a = acoef_ref[k, :]
         x, y, z, L, M, N, inten, opd = _surface_step(
             c, x, y, z, L, M, N, inten, opd, is_plane=is_plane,
-            is_refl=is_refl, absorbing=absorbing)
+            is_refl=is_refl, absorbing=absorbing, acoef=a, n_terms=n_terms)
     xo[:] = x
     yo[:] = y
     zo[:] = z
@@ -204,7 +294,8 @@ def _kernel(consts_ref, x_ref, y_ref, z_ref, l_ref, m_ref, n_ref, i_ref,
 
 
 def model_flags(model: OpticModel, params) -> tuple:
-    """Static per-surface (is_plane, is_reflective, absorbing) flags."""
+    """Static per-surface (is_plane, is_reflective, absorbing, n_terms)
+    flags (n_terms > 0 selects the in-kernel asphere Newton path)."""
     import numpy as np
     flags = []
     for k in range(1, model.num_surfaces):
@@ -214,12 +305,14 @@ def model_flags(model: OpticModel, params) -> tuple:
                                                            np.inf))))
         pre = model.surfaces[k - 1]
         absorbing = model.surfaces[pre.material_src].material.absorbing
-        flags.append((is_plane, spec.is_reflective, absorbing))
+        n_terms = (spec.geometry.num_terms
+                   if spec.geometry.kind == "even_asphere" else 0)
+        flags.append((is_plane, spec.is_reflective, absorbing, n_terms))
     return tuple(flags)
 
 
 @functools.partial(jax.jit, static_argnames=("flags", "block_rows"))
-def _pallas_call_2d(consts, x, y, z, L, M, N, inten, opd,
+def _pallas_call_2d(consts, acoef, x, y, z, L, M, N, inten, opd,
                     flags: tuple, block_rows: int):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -230,18 +323,20 @@ def _pallas_call_2d(consts, x, y, z, L, M, N, inten, opd,
                             memory_space=pltpu.VMEM)
     const_spec = pl.BlockSpec((len(flags), 8), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
+    acoef_spec = pl.BlockSpec(acoef.shape, lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct(x.shape, x.dtype)] * 8
     kernel = functools.partial(_kernel, flags=flags)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[const_spec] + [ray_spec] * 8,
+        in_specs=[const_spec, acoef_spec] + [ray_spec] * 8,
         out_specs=[ray_spec] * 8,
         out_shape=out_shape,
-    )(consts, x, y, z, L, M, N, inten, opd)
+    )(consts, acoef, x, y, z, L, M, N, inten, opd)
 
 
-def _gen_kernel(gen_ref, consts_ref, px_ref, py_ref,
+def _gen_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
                 xo, yo, zo, lo, mo, no, io, oo, *, flags: tuple,
                 final_prop: bool = False):
     """Fused ray-generation + trace: inputs are just the pupil samples.
@@ -276,11 +371,12 @@ def _gen_kernel(gen_ref, consts_ref, px_ref, py_ref,
     inten = jnp.ones_like(Px)
     opd = jnp.zeros_like(Px)
 
-    for k, (is_plane, is_refl, absorbing) in enumerate(flags):
+    for k, (is_plane, is_refl, absorbing, n_terms) in enumerate(flags):
         c = consts_ref[k, :]
+        a = acoef_ref[k, :]
         x, y, z, L, M, N, inten, opd = _surface_step(
             c, x, y, z, L, M, N, inten, opd, is_plane=is_plane,
-            is_refl=is_refl, absorbing=absorbing)
+            is_refl=is_refl, absorbing=absorbing, acoef=a, n_terms=n_terms)
     if final_prop:
         t_img = gen_ref[0, 6]
         x = x + t_img * L
@@ -298,8 +394,8 @@ def _gen_kernel(gen_ref, consts_ref, px_ref, py_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("flags", "block_rows", "final_prop"))
-def _pallas_gen_trace_2d(gen, consts, Px, Py, flags: tuple, block_rows: int,
-                         final_prop: bool = False):
+def _pallas_gen_trace_2d(gen, consts, acoef, Px, Py, flags: tuple,
+                         block_rows: int, final_prop: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -311,16 +407,18 @@ def _pallas_gen_trace_2d(gen, consts, Px, Py, flags: tuple, block_rows: int,
                             memory_space=pltpu.VMEM)
     const_spec = pl.BlockSpec((len(flags), 8), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
+    acoef_spec = pl.BlockSpec(acoef.shape, lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct(Px.shape, Px.dtype)] * 8
     kernel = functools.partial(_gen_kernel, flags=flags,
                                final_prop=final_prop)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[gen_spec, const_spec, ray_spec, ray_spec],
+        in_specs=[gen_spec, const_spec, acoef_spec, ray_spec, ray_spec],
         out_specs=[ray_spec] * 8,
         out_shape=out_shape,
-    )(gen, consts, Px, Py)
+    )(gen, consts, acoef, Px, Py)
 
 
 def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
@@ -369,7 +467,8 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
         a = jnp.pad(a, (0, n_pad - n))
         return a.reshape(rows, lanes)
 
-    out = _pallas_gen_trace_2d(gen, consts, shape(Px), shape(Py),
+    acoef = pack_asphere_coeffs(model, params)
+    out = _pallas_gen_trace_2d(gen, consts, acoef, shape(Px), shape(Py),
                                flags=flags, block_rows=block_rows,
                                final_prop=final_prop)
     x, y, z, L, M, N, inten, opd = [o.reshape(-1)[:n] for o in out]
@@ -406,7 +505,9 @@ def pallas_trace_conic(model: OpticModel, params, rays, wavelength,
 
     args = [shape(v) for v in (rays.x, rays.y, rays.z, rays.L, rays.M,
                                rays.N, rays.intensity, rays.opd)]
-    out = _pallas_call_2d(consts, *args, flags=flags, block_rows=block_rows)
+    acoef = pack_asphere_coeffs(model, params)
+    out = _pallas_call_2d(consts, acoef, *args, flags=flags,
+                          block_rows=block_rows)
     x, y, z, L, M, N, inten, opd = [o.reshape(-1)[:n] for o in out]
     return rays.replace(x=x, y=y, z=z, L=L, M=M, N=N, intensity=inten,
                         opd=opd)

@@ -184,6 +184,97 @@ class Optic:
         self._surfaces[surface_number]["material"] = material
         self._dirty()
 
+    def set_asphere_coeff(self, value, surface_number: int,
+                          aspher_coeff_idx: int):
+        """Set one aspheric coefficient (reference
+        optic_updater.set_asphere_coeff)."""
+        kw = self._surfaces[surface_number]["geom_kw"]
+        coeffs = list(kw.get("coefficients") or [])
+        while len(coeffs) <= aspher_coeff_idx:
+            coeffs.append(0.0)
+        coeffs[aspher_coeff_idx] = float(value)
+        kw["coefficients"] = coeffs
+        self._dirty()
+
+    def set_index(self, value, surface_number: int):
+        """Set the post-surface medium to an ideal index (reference
+        optic_updater.set_index)."""
+        self.set_material(float(value), surface_number)
+
+    def set_norm_radius(self, value, surface_number: int):
+        """Set the normalization radius of a Zernike/Forbes/poly surface
+        (reference optic_updater.set_norm_radius)."""
+        self._surfaces[surface_number]["geom_kw"]["norm_radius"] = float(value)
+        self._dirty()
+
+    def update(self):
+        """Re-apply pickups/solves (reference optic_updater.update). Here
+        constraints are parameter transforms applied inside build(), so
+        updating = invalidating the compiled cache."""
+        self._dirty()
+
+    def reset(self):
+        """Clear the prescription back to an empty system (reference
+        optic.reset)."""
+        self.__init__(name=self.name)
+
+    # -- reference-facade conveniences --------------------------------------
+    @property
+    def object_surface(self):
+        """The object-space SurfaceDef (reference optic.object_surface)."""
+        return self.model.surfaces[0]
+
+    @property
+    def image_surface(self):
+        """The image SurfaceDef (reference optic.image_surface)."""
+        return self.model.surfaces[-1]
+
+    @property
+    def polarization_state(self):
+        """The launch polarization state (reference optic.polarization_state)."""
+        return None if isinstance(self.polarization, str) else self.polarization
+
+    @property
+    def total_track(self):
+        """Total track length: max-min of surface z positions excluding the
+        object surface (reference surface_group.py:196-201)."""
+        from .model import positions_from_params
+        pos = positions_from_params(self.params)[1:]
+        import jax.numpy as jnp
+        return jnp.max(pos) - jnp.min(pos)
+
+    def to_dict(self) -> dict:
+        """Serialize the prescription (reference optic.to_dict)."""
+        from ..fileio.json_io import optic_to_dict
+        return optic_to_dict(self)
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "Optic":
+        """Rebuild from to_dict output or a reference-schema dict
+        (reference optic.from_dict)."""
+        from ..fileio.json_io import optic_from_dict
+        return optic_from_dict(data)
+
+    def draw(self, fields="all", wavelength=None, num_rays: int = 3,
+             figsize=(10, 4), title=None, reference=None):
+        """2-D layout plot (reference optic.draw -> OpticViewer)."""
+        from ..viz import OpticViewer
+        return OpticViewer(self).view(fields=fields, wavelength=wavelength,
+                                      num_rays=num_rays, figsize=figsize,
+                                      title=title)
+
+    def info(self):
+        """Tabulated prescription (reference LensInfoViewer)."""
+        from ..viz import LensInfoViewer
+        return LensInfoViewer(self).view()
+
+    def plot_surface_sag(self, surface_number: int, r_max: float = None,
+                         n: int = 128):
+        """Sag cross-section plot (reference optic.plot_surface_sag)."""
+        from ..viz import SurfaceSagViewer
+        v = SurfaceSagViewer(self, surface_number)
+        return v.view(r_max=r_max or 1.0, n=n)
+
     def scale_system(self, scale_factor: float):
         """Scale all lengths (radii/thicknesses/apertures) by ``scale_factor``
         (reference optic_updater.scale_system)."""

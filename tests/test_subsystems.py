@@ -229,6 +229,7 @@ def test_pallas_kernel_interpret_mode():
     # run the kernel body through the interpreter (CPU-safe)
     consts = pack_surface_constants(model, params32, 0.55)
     flags = model_flags(model, params32)
+    acoef = ptmod.pack_asphere_coeffs(model, params32)
     rows, lanes = 8, 128
     def shape(a):
         return jnp.asarray(a, jnp.float32).reshape(rows, lanes)
@@ -239,7 +240,7 @@ def test_pallas_kernel_interpret_mode():
         kernel,
         out_shape=[jax.ShapeDtypeStruct((rows, lanes), jnp.float32)] * 8,
         interpret=True,
-    )(consts, *args)
+    )(consts, acoef, *args)
     x = out[0].reshape(-1)
     np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
                                rtol=2e-4, atol=2e-4)
@@ -279,6 +280,7 @@ def test_pallas_gen_trace_kernel_interpret_mode():
     import optiland_pr_tpu.kernels.pallas_trace as pt
     flags = pt.model_flags(model, params32)
     consts = pt.pack_surface_constants(model, params32, 0.55)
+    acoef = pt.pack_asphere_coeffs(model, params32)
     from optiland_pr_tpu.trace.paraxial import Paraxial
     from optiland_pr_tpu.system.model import positions_from_params
     par = Paraxial(model, params32)
@@ -297,7 +299,84 @@ def test_pallas_gen_trace_kernel_interpret_mode():
         kernel,
         out_shape=[jax.ShapeDtypeStruct((rows, lanes), jnp.float32)] * 8,
         interpret=True,
-    )(gen, consts, Px.reshape(rows, lanes), Py.reshape(rows, lanes))
+    )(gen, consts, acoef, Px.reshape(rows, lanes), Py.reshape(rows, lanes))
+    np.testing.assert_allclose(np.asarray(out[0].reshape(-1)),
+                               np.asarray(ref.x), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out[1].reshape(-1)),
+                               np.asarray(ref.y), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out[7].reshape(-1)),
+                               np.asarray(ref.opd), rtol=1e-4, atol=2e-3)
+
+
+def test_optic_facade_methods():
+    """Reference-facade conveniences: total_track, to_dict/from_dict, info,
+    set_index/update/reset (reference optic/optic.py + optic_updater.py)."""
+    from optiland_pr_tpu.system.optic import Optic
+    lens = CookeTriplet()
+    tt = float(lens.total_track)
+    assert 59 < tt < 61, tt
+    assert lens.object_surface.is_object
+    assert lens.image_surface.is_image
+    assert lens.polarization_state is None
+
+    lens2 = Optic.from_dict(lens.to_dict())
+    np.testing.assert_allclose(float(lens2.paraxial.f2()),
+                               float(lens.paraxial.f2()), rtol=1e-12)
+
+    df = lens.info()
+    assert len(df) == 8
+
+    lens.set_index(1.7, 2)
+    lens.update()
+    n_after = float(lens.n()[2])
+    np.testing.assert_allclose(n_after, 1.7)
+
+    lens.reset()
+    assert len(lens._surfaces) == 0
+
+
+def test_pallas_asphere_kernel_interpret_mode():
+    """Even-asphere in-kernel Newton path vs the XLA trace (interpret)."""
+    import functools
+    from jax.experimental import pallas as pl
+    import optiland_pr_tpu.kernels.pallas_trace as pt
+    from optiland_pr_tpu.kernels import supports_model
+    from optiland_pr_tpu.trace import real as real_trace
+    from optiland_pr_tpu.trace.raygen import generate_rays
+    from optiland_pr_tpu.samples import AsphericSinglet
+
+    model, params = AsphericSinglet().build()
+    assert supports_model(model)           # asphere now on the fast path
+    params32 = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, params)
+
+    n = 1024
+    rng = np.random.default_rng(3)
+    r = np.sqrt(rng.uniform(size=n))
+    th = rng.uniform(0, 2 * np.pi, size=n)
+    Px = jnp.asarray(r * np.cos(th), jnp.float32)
+    Py = jnp.asarray(r * np.sin(th), jnp.float32)
+    rays0 = generate_rays(model, params32, jnp.zeros_like(Px),
+                          jnp.zeros_like(Px), Px, Py, 0.587)
+    ref, _ = real_trace.trace_system(model, params32, rays0, wl_scalar=0.587)
+
+    consts = pt.pack_surface_constants(model, params32, 0.587)
+    acoef = pt.pack_asphere_coeffs(model, params32)
+    flags = pt.model_flags(model, params32)
+    assert any(f[3] > 0 for f in flags)
+    rows, lanes = 8, 128
+
+    def shape(a):
+        return jnp.asarray(a, jnp.float32).reshape(rows, lanes)
+    args = [shape(v) for v in (rays0.x, rays0.y, rays0.z, rays0.L, rays0.M,
+                               rays0.N, rays0.intensity, rays0.opd)]
+    kernel = functools.partial(pt._kernel, flags=flags)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=[jax.ShapeDtypeStruct((rows, lanes), jnp.float32)] * 8,
+        interpret=True,
+    )(consts, acoef, *args)
     np.testing.assert_allclose(np.asarray(out[0].reshape(-1)),
                                np.asarray(ref.x), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(out[1].reshape(-1)),
