@@ -71,6 +71,10 @@ class ZemaxFileReader:
             d["aperture"] = ("imageFNO", float(args[0]))
         elif tag == "OBNA":
             d["aperture"] = ("objectNA", float(args[0]))
+        elif tag == "FLOA":
+            # floating stop: value resolved from the stop surface's DIAM
+            # (reference zemax_handler.py:196-197 + converters.py:253-267)
+            d["aperture"] = ("float_by_stop_size", None)
         elif tag == "FTYP":
             # field type: 0 = angle, 1 = object height, 2/3 = image height
             ft = int(args[0])
@@ -123,11 +127,41 @@ class ZemaxFileReader:
             cur["decenter"][1] = float(args[0])
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _rot(rx, ry, rz):
+        """Rz @ Ry @ Rx (reference coordinate_system.py:121-143)."""
+        import numpy as np
+        cx, sx = np.cos(rx), np.sin(rx)
+        cy, sy = np.cos(ry), np.sin(ry)
+        cz, sz = np.cos(rz), np.sin(rz)
+        Rx = np.array([[1, 0, 0], [0, cx, -sx], [0, sx, cx]])
+        Ry = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]])
+        Rz = np.array([[cz, -sz, 0], [sz, cz, 0], [0, 0, 1]])
+        return Rz @ Ry @ Rx
+
     def generate_lens(self) -> Optic:
         d = self.data
         optic = Optic(name=self.path)
         surfaces = d["surfaces"]
+        import numpy as np
+        has_cb = any(s["type"] == "COORDBRK" for s in surfaces)
+        T = np.zeros(3)        # chained coordinate-break transform
+        Rm = np.eye(3)         # (reference converters.py:54-158)
+        z_accum = 0.0
+        first = True
         for i, s in enumerate(surfaces):
+            if s["type"] == "COORDBRK":
+                # decenters + tilts rotate the chain; the CB's own
+                # "thickness" advances along the NEW local z
+                dx = s["parm"].get(1, 0.0)
+                dy = s["parm"].get(2, 0.0)
+                rx = np.deg2rad(s["parm"].get(3, 0.0))
+                ry = np.deg2rad(s["parm"].get(4, 0.0))
+                rz = np.deg2rad(s["parm"].get(5, 0.0))
+                T = T + Rm @ np.array([dx, dy, 0.0])
+                Rm = Rm @ self._rot(rx, ry, rz)
+                T = T + Rm @ np.array([0.0, 0.0, s["disz"]])
+                continue
             radius = float("inf") if s["curv"] == 0 else 1.0 / s["curv"]
             material = None
             if s["mirror"]:
@@ -155,12 +189,43 @@ class ZemaxFileReader:
                 coeffs = [s["parm"].get(j, 0.0) for j in
                           range(1, max(s["parm"].keys() or [0]) + 1)]
                 kw["coefficients"] = coeffs
+            elif s["type"] == "TOROIDAL":
+                # CURV is the Y-Z curve radius; PARM2 the rotation radius;
+                # PARM3+ the y-polynomial coefficients (reference
+                # converters.py:112-124, param_j == PARM j+1)
+                surface_type = "toroidal"
+                rrot = s["parm"].get(2, 0.0)
+                kw["radius_rot"] = float("inf") if rrot == 0.0 else rrot
+                cmax = max([j for j in s["parm"] if j >= 3] or [2])
+                kw["coeffs_poly_y"] = [s["parm"].get(j, 0.0)
+                                       for j in range(3, cmax + 1)]
+            cs_kw = {}
+            if has_cb and not first:
+                from scipy.spatial.transform import Rotation
+                eul = Rotation.from_matrix(Rm).as_euler("xyz")
+                cs_kw = dict(dx=float(T[0]), dy=float(T[1]),
+                             dz=float(T[2] - z_accum),
+                             rx=float(eul[0]), ry=float(eul[1]),
+                             rz=float(eul[2]))
             optic.add_surface(
                 surface_type=surface_type,
                 radius=radius, thickness=s["disz"], conic=s["conic"],
-                material=material, is_stop=s["stop"], **kw)
+                material=material, is_stop=s["stop"], **cs_kw, **kw)
+            dt_s = s["disz"]
+            if not first and np.isfinite(dt_s):
+                T = T + Rm @ np.array([0.0, 0.0, dt_s])
+                z_accum += dt_s
+            first = False
         if d["aperture"] is not None:
-            optic.set_aperture(*d["aperture"])
+            ap_type, ap_value = d["aperture"]
+            if ap_type == "float_by_stop_size" and ap_value is None:
+                for s in surfaces:
+                    if s["stop"] and s["diam"] is not None:
+                        ap_value = s["diam"]
+                        break
+                if ap_value is None:
+                    raise ValueError("floating stop but no stop diameter")
+            optic.set_aperture(ap_type, ap_value)
         optic.set_field_type(d["field_type"])
         xf = d.get("_xfln", [0.0])
         yf = d.get("_yfln", [0.0])

@@ -383,3 +383,44 @@ def test_pallas_asphere_kernel_interpret_mode():
                                np.asarray(ref.y), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(out[7].reshape(-1)),
                                np.asarray(ref.opd), rtol=1e-4, atol=2e-3)
+
+
+def test_zemax_import_fold_mirror(ref_optiland):
+    """COORDBRK fold mirror: trace parity vs the reference importer."""
+    from optiland.fileio import load_zemax_file as ref_load
+    from optiland_pr_tpu.fileio import load_zemax_file
+    path = "/root/reference/tests/zemax_files/simple_fold_mirror_up.zmx"
+    z = load_zemax_file(path)
+    rz = ref_load(path)
+    wl = rz.primary_wavelength
+    got = z.trace(Hx=0.0, Hy=0.0, wavelength=wl, num_rays=5,
+                  distribution="line_y")
+    want = rz.trace(Hx=0.0, Hy=0.0, wavelength=wl, num_rays=5,
+                    distribution="line_y")
+    np.testing.assert_allclose(np.asarray(got.y), np.asarray(want.y),
+                               rtol=1e-8, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(got.z), np.asarray(want.z),
+                               rtol=1e-8, atol=1e-9)
+
+
+def test_zemax_import_toroidal(ref_optiland):
+    """TOROIDAL surfaces (cylindrical Thorlabs lens): geometry parameters
+    match the reference importer (its test_load_toroidal_surface)."""
+    from optiland_pr_tpu.fileio import load_zemax_file
+    path = "/root/reference/tests/zemax_files/thorlabs_lj1598l1.zmx"
+    z = load_zemax_file(path)
+    model, params = z.build()
+    assert model.surfaces[1].geometry.kind == "toroidal"
+    np.testing.assert_allclose(float(params["surfaces"][1]["geom"]["radius"]),
+                               1 / 0.4950495049504951)
+    assert np.isinf(float(params["surfaces"][1]["geom"]["radius_rot"]))
+
+
+def test_zemax_import_floating_stop(ref_optiland):
+    """FLOA aperture resolves to float_by_stop_size with the stop DIAM
+    (reference test_load_floa_zemax_file: value == 8.5)."""
+    from optiland_pr_tpu.fileio import load_zemax_file
+    z = load_zemax_file("/root/reference/tests/zemax_files/lens_floa.zmx")
+    assert z.ap_type == "float_by_stop_size"
+    np.testing.assert_allclose(z.ap_value, 8.5)
+    assert np.isfinite(float(z.paraxial.EPD()))
