@@ -92,7 +92,10 @@ def grin_march(geometry, geom_params, grin, mat_params, rays: R.Rays, wl,
     x, y, z, Tx, Ty, Tz, opd, done = lax.fori_loop(
         0, K, body, (x, y, z, Tx, Ty, Tz, opd, done))
 
-    # straight-line landing from the frozen pre-crossing state
+    # straight-line landing from the frozen pre-crossing state. The position
+    # error of the straight leg is O(dt^2), but the DIRECTION must also be
+    # advanced over the landing leg (T stopped one step short of the surface,
+    # an O(dt) bias otherwise): trapezoid dT = dt_land*(D(start)+D(end))/2.
     inv_n = jax.lax.rsqrt(Tx * Tx + Ty * Ty + Tz * Tz)
     L = Tx * inv_n
     M = Ty * inv_n
@@ -101,11 +104,21 @@ def grin_march(geometry, geom_params, grin, mat_params, rays: R.Rays, wl,
     ok = done & jnp.isfinite(t_land)
     t_land = jnp.where(ok, t_land, 0.0)
     n_local = n_at(x, y, z)
+    D0x, D0y, D0z = D(x, y, z)
     x = x + t_land * L
     y = y + t_land * M
     z = z + t_land * N
-    opd = opd + jnp.abs(t_land) * n_local
     n_exit = n_at(x, y, z)
+    opd = opd + jnp.abs(t_land) * 0.5 * (n_local + n_exit)
+    dt_land = t_land / n_local
+    D1x, D1y, D1z = D(x, y, z)
+    Tx = Tx + 0.5 * dt_land * (D0x + D1x)
+    Ty = Ty + 0.5 * dt_land * (D0y + D1y)
+    Tz = Tz + 0.5 * dt_land * (D0z + D1z)
+    inv_n = jax.lax.rsqrt(Tx * Tx + Ty * Ty + Tz * Tz)
+    L = Tx * inv_n
+    M = Ty * inv_n
+    N = Tz * inv_n
 
     out = rays.replace(x=x, y=y, z=z, L=L, M=M, N=N,
                        opd=rays.opd + opd)

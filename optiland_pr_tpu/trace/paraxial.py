@@ -34,6 +34,41 @@ def system_arrays(model: OpticModel, params, wavelength):
     return radii, n, pos
 
 
+def _gap_grin_media(model: OpticModel, params, reverse: bool):
+    """Per-surface list: the GRIN (material, params) filling the gap BEFORE
+    surface k, or None. Radial GRIN contributes paraxial power continuously;
+    axial terms are ignored at first order (documented v1 approximation)."""
+    num = len(model.surfaces)
+    gaps = [None]
+    for k in range(1, num):
+        spec_prev = model.surfaces[k - 1]
+        mat = model.surfaces[spec_prev.material_src].material
+        if getattr(mat, "is_grin", False):
+            gaps.append((mat,
+                         params["surfaces"][spec_prev.material_src]["material"]))
+        else:
+            gaps.append(None)
+    if reverse:
+        gaps = [None] + gaps[1:][::-1]
+    return gaps
+
+
+def _grin_transfer(y, u, t, A):
+    """Parabolic-GRIN paraxial transfer over thickness t: y'' = -A y with
+    A = -2 nr2 / n0 (n = n0 + nr2 r^2). Branchless in the sign of A
+    (cos/cosh), with the A -> 0 limit y + t u."""
+    sa = jnp.sqrt(jnp.abs(A))
+    st = sa * t
+    small = jnp.abs(A) < 1e-16
+    Cf = jnp.where(A >= 0, jnp.cos(st), jnp.cosh(st))
+    Sf = jnp.where(small, t,
+                   jnp.where(A >= 0, jnp.sin(st), jnp.sinh(st))
+                   / jnp.where(sa > 0, sa, 1.0))
+    y2 = y * Cf + u * Sf
+    u2 = -y * A * Sf + u * Cf
+    return y2, u2
+
+
 def trace_generic(model: OpticModel, params, y, u, z, wavelength,
                   reverse: bool = False, skip: int = 0):
     """Trace a paraxial ray; returns stacked (heights, slopes), one row per
@@ -41,6 +76,7 @@ def trace_generic(model: OpticModel, params, y, u, z, wavelength,
     R, n, pos = system_arrays(model, params, wavelength)
 
     specs = list(model.surfaces)
+    grin_gaps = _gap_grin_media(model, params, reverse)
     if reverse:
         R = -jnp.flip(R)
         n = jnp.flip(jnp.roll(n, shift=1))
@@ -64,7 +100,13 @@ def trace_generic(model: OpticModel, params, y, u, z, wavelength,
             continue
         t = pos[k] - z_
         z_ = jnp.broadcast_to(pos[k], z_.shape)
-        y_ = y_ + t * u_
+        if grin_gaps[k] is not None:
+            gmat, gmp = grin_gaps[k]
+            n0 = gmat.n(gmp, jnp.asarray(wavelength))
+            A = -2.0 * gmp["nr2"] / n0
+            y_, u_ = _grin_transfer(y_, u_, t, A)
+        else:
+            y_ = y_ + t * u_
         if spec.interaction == "thin_lens":
             orig_idx = (num - 1 - k) if reverse else k
             f = params["surfaces"][orig_idx]["f"]

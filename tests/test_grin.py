@@ -138,3 +138,38 @@ def test_grin_and_instance_material_json_roundtrip(tmp_path):
             lens2.primary_wavelength_idx], num_rays=6, distribution="line_y")
         np.testing.assert_allclose(np.asarray(a.y), np.asarray(b.y),
                                    rtol=1e-12)
+
+
+def test_grin_paraxial_matches_real_trace():
+    """Paraxial f2 through a parabolic GRIN rod agrees with the real-ray
+    finite-difference focal length (marginal ray, small height)."""
+    for frac in (0.15, 0.25, 0.4):
+        length = frac * 2 * np.pi / G
+        lens = _grin_rod(length)
+        f2 = float(lens.paraxial.f2())
+        # real-ray: parallel input at small height -> f = -y_in / u_out
+        out, hist = lens.trace(Hx=0.0, Hy=0.0, wavelength=0.55, num_rays=4,
+                               distribution="line_y", record=True)
+        y_in = np.asarray(hist.y[1])
+        L_exit = np.asarray(hist.L[2]) if hasattr(hist, "L") else None
+        # use the two innermost rays for the paraxial limit
+        i = np.argsort(np.abs(y_in))[1]
+        # slope after exit face from positions at exit and image plane
+        y2 = np.asarray(hist.y[2])[i]
+        y3 = np.asarray(hist.y[3])[i]
+        t23 = 5.0  # rod exit -> image distance in _grin_rod
+        u_out = (y3 - y2) / t23
+        f_real = -y_in[i] / u_out
+        np.testing.assert_allclose(f2, f_real, rtol=5e-3,
+                                   err_msg=f"pitch fraction {frac}")
+
+
+def test_grin_paraxial_epd_quarter_pitch():
+    """EPD through a GRIN gap: finite, and matches the stop diameter when the
+    stop is at the rod entry."""
+    lens = _grin_rod(L_QUARTER)
+    epd = float(lens.paraxial.EPD())
+    np.testing.assert_allclose(epd, 1.0, rtol=1e-9)  # stop at first surface
+    f2 = float(lens.paraxial.f2())
+    want = 1.0 / (N0 * G * np.sin(G * L_QUARTER))     # selfoc EFL at L=q pitch
+    np.testing.assert_allclose(f2, want, rtol=1e-6)
