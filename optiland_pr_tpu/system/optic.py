@@ -492,12 +492,55 @@ class Optic:
         from ..trace.aberrations import Aberrations
         return Aberrations(self)
 
+    def _pallas_eligible(self, model, params, Hx, Hy, record) -> bool:
+        """True when the fused Pallas kernel can trace this call: conic/
+        even-asphere stack, angle fields from infinity, scalar field point,
+        no apodization/vignetting/recording, and a non-CPU backend."""
+        import numpy as np
+        from ..kernels import supports_model
+        if record or self.apodization is not None:
+            return False
+        if np.ndim(Hx) != 0 or np.ndim(Hy) != 0:
+            return False
+        if not (model.field_type == "angle" and model._object_infinite):
+            return False
+        if not supports_model(model):
+            return False
+        if np.any(np.asarray(params["vig"]) != 0.0):
+            return False
+        return jax.devices()[0].platform != "cpu"
+
     def trace(self, Hx=0.0, Hy=0.0, wavelength=None, num_rays: int = 100,
-              distribution: str = "hexapolar", record: bool = False):
-        """Trace a pupil distribution (reference optic/optic.py:584-609)."""
+              distribution: str = "hexapolar", record: bool = False,
+              engine: str = "auto"):
+        """Trace a pupil distribution (reference optic/optic.py:584-609).
+
+        ``engine``: "auto" uses the fused Pallas kernel (generation + surface
+        stack + image propagation in one VMEM-resident kernel, f32) whenever
+        the system is eligible and a TPU is present, else the XLA unrolled
+        trace; "xla"/"pallas" force a path ("pallas" raises if ineligible).
+        """
         model, params = self.build()
         wavelength = wavelength or self.primary_wavelength
         Px, Py = generate_distribution(distribution, num_rays)
+
+        use_pallas = False
+        if engine in ("auto", "pallas"):
+            use_pallas = self._pallas_eligible(model, params, Hx, Hy, record)
+            if engine == "pallas" and not use_pallas:
+                raise ValueError(
+                    "system/call not eligible for the fused Pallas kernel")
+        if use_pallas:
+            from ..kernels import model_flags, pallas_gen_trace_conic
+            key = ("trace_pallas", distribution, int(Px.shape[0]))
+            if key not in self._jit_cache:
+                flags = model_flags(model, params)
+                self._jit_cache[key] = jax.jit(
+                    lambda p, hx, hy, wl, px, py: pallas_gen_trace_conic(
+                        model, p, px, py, wl, Hx=hx, Hy=hy, flags=flags,
+                        final_prop=True))
+            return self._jit_cache[key](params, Hx, Hy, wavelength, Px, Py)
+
         key = ("trace", distribution, int(Px.shape[0]),
                jnp.shape(jnp.atleast_1d(Hx)), record)
         apod = self.apodization

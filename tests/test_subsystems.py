@@ -424,3 +424,26 @@ def test_zemax_import_floating_stop(ref_optiland):
     assert z.ap_type == "float_by_stop_size"
     np.testing.assert_allclose(z.ap_value, 8.5)
     assert np.isfinite(float(z.paraxial.EPD()))
+
+
+def test_trace_engine_dispatch_cpu():
+    """Engine selection: on CPU, "auto" must use XLA (identical results to
+    engine="xla"); engine="pallas" must refuse; ineligible systems (GRIN,
+    apodized, multi-field Hx arrays) must fall back under "auto"."""
+    lens = CookeTriplet()
+    a = lens.trace(Hx=0.0, Hy=1.0, wavelength=0.55, num_rays=12,
+                   distribution="hexapolar", engine="auto")
+    b = lens.trace(Hx=0.0, Hy=1.0, wavelength=0.55, num_rays=12,
+                   distribution="hexapolar", engine="xla")
+    np.testing.assert_array_equal(np.asarray(a.x), np.asarray(b.x))
+
+    import pytest
+    with pytest.raises(ValueError):
+        lens.trace(Hx=0.0, Hy=1.0, wavelength=0.55, num_rays=12,
+                   engine="pallas")
+
+    # array-valued field point is ineligible but must work under auto
+    out = lens.trace(Hx=np.asarray([0.0, 0.0]), Hy=np.asarray([0.0, 1.0]),
+                     wavelength=0.55, num_rays=6, distribution="line_y",
+                     engine="auto")
+    assert np.isfinite(np.asarray(out.x)).all()
