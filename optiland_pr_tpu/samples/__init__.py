@@ -6,6 +6,7 @@ from .catalog import (EyepieceErfle, HubbleTelescope, Edmund_49_847,
                       UVProjectionLens, TelescopeObjective48Inch, HeliarLens,
                       PetzvalLens, Telephoto, ObjectiveUS008879901,
                       NavarroWideAngleEye)
+from .microscopes import Objective60x, Microscope20x, UVReflectingMicroscope
 
 __all__ = ["CookeTriplet", "DoubleGauss", "TripletTelescopeObjective",
            "ReverseTelephoto", "TessarLens", "LensWithFieldCorrector",
@@ -14,4 +15,5 @@ __all__ = ["CookeTriplet", "DoubleGauss", "TripletTelescopeObjective",
            "AsphericSinglet", "InfraredTriplet", "InfraredTripletF4",
            "UVProjectionLens", "TelescopeObjective48Inch", "HeliarLens",
            "PetzvalLens", "Telephoto", "ObjectiveUS008879901",
-           "NavarroWideAngleEye"]
+           "NavarroWideAngleEye",
+           "Objective60x", "Microscope20x", "UVReflectingMicroscope"]

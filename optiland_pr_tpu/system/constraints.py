@@ -71,8 +71,16 @@ class Pickup:
 @dataclasses.dataclass(frozen=True)
 class _RayHeightSolve:
     """Adjust the thickness before ``surface_idx`` so the chosen paraxial ray
-    reaches ``height`` there (reference solves/ray_height_base.py:18-80:
-    shift = (height - y) / u applied to the preceding thickness)."""
+    reaches ``height`` there (reference solves/ray_height_base.py:88:
+    shift = (height - y[k]) / u[k] applied to the preceding thickness).
+
+    Reference quirk reproduced deliberately: the divisor is ``u[k]``, the
+    slope recorded AT the target surface (post-interaction), not the slope in
+    the gap being adjusted (``u[k-1]``). When the preceding gap is glass and
+    the target is the image plane (e.g. Microscope20x's N-K5 window), the
+    image row records the slope refracted back into air, so the solve does
+    NOT exactly zero the height — matching the reference's image_solve
+    (optic_updater.py:263-270) and its sample prescriptions."""
     surface_idx: int
     height: float = 0.0
     _chief: bool = False
@@ -82,7 +90,7 @@ class _RayHeightSolve:
         par = Paraxial(model, params)
         y, u = (par.chief_ray() if self._chief else par.marginal_ray())
         y_k = y[self.surface_idx][0]
-        u_k = u[self.surface_idx - 1][0]
+        u_k = u[self.surface_idx][0]
         shift = safe_div(self.height - y_k, u_k)
         t = _get(params, self.surface_idx - 1, ("thickness",))
         return _set(params, self.surface_idx - 1, ("thickness",), t + shift)

@@ -263,6 +263,48 @@ class Optic:
                                       num_rays=num_rays, figsize=figsize,
                                       title=title)
 
+    def draw3D(self, fields="all", wavelength=None, num_rays: int = 24,
+               figsize=(9, 6), title=None):
+        """3-D layout plot (reference optic.draw3D -> OpticViewer3D; VTK in
+        the reference, matplotlib-3D here)."""
+        from ..viz import OpticViewer3D
+        return OpticViewer3D(self).view(fields=fields, wavelength=wavelength,
+                                        num_rays=num_rays, figsize=figsize,
+                                        title=title)
+
+    def update_paraxial(self):
+        """Set per-surface semi-apertures from the paraxial marginal + chief
+        ray heights and refresh normalization radii (reference
+        optic_updater.update_paraxial:192-204: semi = |ya| + |yb|)."""
+        import numpy as np
+        par = self.paraxial
+        ya, _ = par.marginal_ray()
+        yb, _ = par.chief_ray()
+        semi = np.abs(np.asarray(ya)).ravel() + np.abs(np.asarray(yb)).ravel()
+        for k, e in enumerate(self._surfaces):
+            if k < semi.shape[0] and np.isfinite(semi[k]):
+                e["semi_aperture"] = float(semi[k])
+        self.update_normalization()
+        self._dirty()
+
+    def update_normalization(self, surface_number: int | None = None):
+        """Set norm_x/norm_y/norm_radius of normalized freeform geometries to
+        1.25x the surface semi-aperture (reference
+        optic_updater.update_normalization:205-232). Surfaces whose norm
+        radius is an optimization variable (``norm_radius_is_variable`` on the
+        entry) are skipped, as in the reference."""
+        idxs = (range(len(self._surfaces)) if surface_number is None
+                else [surface_number])
+        for k in idxs:
+            e = self._surfaces[k]
+            semi = e.get("semi_aperture")
+            if semi is None or e.get("norm_radius_is_variable", False):
+                continue
+            for key in ("norm_x", "norm_y", "norm_radius"):
+                if key in e["geom_kw"]:
+                    e["geom_kw"][key] = 1.25 * semi
+        self._dirty()
+
     def info(self):
         """Tabulated prescription (reference LensInfoViewer)."""
         from ..viz import LensInfoViewer
@@ -277,16 +319,26 @@ class Optic:
 
     def scale_system(self, scale_factor: float):
         """Scale all lengths (radii/thicknesses/apertures) by ``scale_factor``
-        (reference optic_updater.scale_system)."""
+        (reference optic_updater.scale_system:160-190 — radii, thicknesses,
+        EPD/float_by_stop_size aperture value, and every physical-aperture
+        dimension)."""
+        import jax
         import numpy as np
         for e in self._surfaces:
             if np.isfinite(float(np.asarray(e["radius"]))):
                 e["radius"] = float(e["radius"]) * scale_factor
             if np.isfinite(float(np.asarray(e["thickness"]))):
                 e["thickness"] = float(e["thickness"]) * scale_factor
+            if e.get("aperture") is not None:
+                # every physical-aperture parameter is a length (radii,
+                # offsets, box extents, polygon vertices) and scales linearly
+                ap_def, ap_params = configure_aperture(e["aperture"])
+                ap_params = jax.tree_util.tree_map(
+                    lambda v: v * scale_factor, ap_params)
+                e["aperture"] = (ap_def, ap_params)
             for key in ("coefficients",):
                 pass  # aspheric coefficients scale nontrivially; left to user
-        if self.ap_type == "EPD":
+        if self.ap_type in ("EPD", "float_by_stop_size"):
             self.ap_value *= scale_factor
         self._dirty()
 

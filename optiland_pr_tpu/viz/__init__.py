@@ -1,3 +1,5 @@
-from .viewer import OpticViewer, LensInfoViewer, SurfaceSagViewer
+from .viewer import (OpticViewer, OpticViewer3D, LensInfoViewer,
+                     SurfaceSagViewer)
 
-__all__ = ["OpticViewer", "LensInfoViewer", "SurfaceSagViewer"]
+__all__ = ["OpticViewer", "OpticViewer3D", "LensInfoViewer",
+           "SurfaceSagViewer"]

@@ -145,3 +145,68 @@ class SurfaceSagViewer:
         ax2.set_ylabel("sag (mm)")
         ax2.legend()
         return fig, (ax1, ax2)
+
+
+class OpticViewer3D:
+    """3-D system rendering: revolved surface meshes + traced ray polylines
+    (reference visualization/system/optic_viewer_3d.py, VTK-based; here a
+    dependency-free matplotlib-3D equivalent so draw3D works everywhere)."""
+
+    def __init__(self, optic):
+        self.optic = optic
+
+    def view(self, fields="all", wavelength=None, num_rays: int = 24,
+             distribution: str = "ring", figsize=(9, 6), title=None,
+             n_theta: int = 48, n_r: int = 12):
+        import matplotlib.pyplot as plt
+        optic = self.optic
+        model, params = optic.build()
+        wavelength = wavelength or optic.primary_wavelength
+        pos = np.asarray(positions_from_params(params))
+        par = Paraxial(model, params)
+        ya, _ = par.marginal_ray()
+        yb, _ = par.chief_ray()
+        semi = np.abs(np.asarray(ya)).ravel() + np.abs(np.asarray(yb)).ravel()
+
+        fig = plt.figure(figsize=figsize)
+        ax = fig.add_subplot(projection="3d")
+
+        theta = np.linspace(0.0, 2.0 * np.pi, n_theta)
+        for k in range(1, model.num_surfaces):
+            spec = model.surfaces[k]
+            sp = params["surfaces"][k]
+            r_max = max(semi[k] * 1.05, 1e-6)
+            r = np.linspace(0.0, r_max, n_r)
+            R, T = np.meshgrid(r, theta)
+            X, Y = R * np.cos(T), R * np.sin(T)
+            Z = np.asarray(spec.geometry.sag(sp["geom"], X.ravel(), Y.ravel())
+                           ).reshape(X.shape) + pos[k]
+            is_glass = (spec.material_src == k
+                        and spec.material.kind != "ideal") \
+                or spec.is_reflective
+            ax.plot_surface(Z, X, Y, alpha=0.35 if is_glass else 0.15,
+                            color="#7aa6c2" if not spec.is_reflective
+                            else "#b0b0b0", linewidth=0, antialiased=True)
+
+        if fields == "all":
+            fields = field_coords(params)
+        Px, Py = generate_distribution(distribution, num_rays)
+        colors = plt.cm.viridis(np.linspace(0, 0.9, len(fields)))
+        for f, color in zip(fields, colors):
+            _, hist = real_trace.trace(model, params, f[0], f[1], wavelength,
+                                       Px, Py, record=True)
+            x = np.asarray(hist.x)
+            y = np.asarray(hist.y)
+            z = np.asarray(hist.z)
+            for j in range(x.shape[1]):
+                ax.plot(z[:, j], x[:, j], y[:, j], "-", color=color, lw=0.5)
+
+        ax.set_xlabel("z (mm)")
+        ax.set_ylabel("x (mm)")
+        ax.set_zlabel("y (mm)")
+        ax.set_title(title or optic.name or "Optical system")
+        try:
+            ax.set_box_aspect((2.5, 1, 1))
+        except Exception:
+            pass
+        return fig, ax

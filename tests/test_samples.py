@@ -24,6 +24,9 @@ PAIRS = [
     ("InfraredTripletF4", "infrared", "InfraredTripletF4"),
     ("UVProjectionLens", "lithography", "UVProjectionLens"),
     ("NavarroWideAngleEye", "miscellaneous", "NavarroWideAngleEye"),
+    ("Objective60x", "microscopes", "Objective60x"),
+    ("Microscope20x", "microscopes", "Microscope20x"),
+    ("UVReflectingMicroscope", "microscopes", "UVReflectingMicroscope"),
 ]
 
 
@@ -45,7 +48,8 @@ def test_sample_paraxial_parity(ref_optiland, our_name, ref_mod, ref_name):
                          [p for p in PAIRS
                           if p[0] in ("HubbleTelescope", "AsphericSinglet",
                                       "PetzvalLens", "UVProjectionLens",
-                                      "NavarroWideAngleEye")])
+                                      "NavarroWideAngleEye", "Microscope20x",
+                                      "UVReflectingMicroscope")])
 def test_sample_trace_parity(ref_optiland, our_name, ref_mod, ref_name):
     """Real-ray parity for the structurally interesting samples (mirrors with
     obscuration, aspheric, scaled system, telecentric lithography lens)."""
