@@ -38,10 +38,12 @@ class RayFan:
         self.wavelengths = wavelengths
         num_points = num_points + 1 if num_points % 2 == 0 else num_points
         self.num_points = num_points
+        primary = optic.primary_wavelength
 
         Py = jnp.linspace(-1, 1, num_points)
         Px = jnp.zeros_like(Py)
         self.data = {"Py": Py, "Px": Py}
+        raw = {}
         for f in fields:
             for wl in wavelengths:
                 # tangential: scan Py at Px=0
@@ -50,10 +52,28 @@ class RayFan:
                 # sagittal: scan Px at Py=0
                 rs = real_trace.trace_generic(model, params, f[0], f[1],
                                               Py, Px, wl)
-                i_t = rt.y - rt.y[num_points // 2]
-                i_s = rs.x - rs.x[num_points // 2]
-                self.data[(f, wl)] = {"y_fan": i_t, "x_fan": i_s,
-                                      "y": rt.y, "x": rs.x}
+                raw[(f, wl)] = (rt, rs)
+        # distortion removal (reference ray_fan.py:160-203): all wavelengths
+        # recenter on the PRIMARY wavelength's central ray (or the mean of its
+        # valid rays when the central ray is vignetted)
+        for f in fields:
+            rt0, rs0 = raw[(f, primary)]
+            y_off = self._fan_offset(rt0.y, rt0.intensity)
+            x_off = self._fan_offset(rs0.x, rs0.intensity)
+            for wl in wavelengths:
+                rt, rs = raw[(f, wl)]
+                self.data[(f, wl)] = {"y_fan": rt.y - y_off,
+                                      "x_fan": rs.x - x_off,
+                                      "y": rt.y, "x": rs.x,
+                                      "intensity_y": rt.intensity,
+                                      "intensity_x": rs.intensity}
+
+    def _fan_offset(self, vals, intensity):
+        center = self.num_points // 2
+        valid = intensity > 0
+        mean_valid = jnp.sum(jnp.where(valid, vals, 0.0)) \
+            / jnp.maximum(jnp.sum(valid), 1)
+        return jnp.where(valid[center], vals[center], mean_valid)
 
     def view(self):
         import matplotlib.pyplot as plt
@@ -79,33 +99,34 @@ class Distortion:
     """
 
     def __init__(self, optic, wavelengths="all", num_points: int = 128,
-                 distortion_type: str = "f_tan"):
+                 distortion_type: str = "f-tan"):
         model, params = optic.build()
         if wavelengths == "all":
             wavelengths = [float(w) for w in params["wavelengths"]]
         self.wavelengths = wavelengths
         self.distortion_type = distortion_type
-        par = Paraxial(model, params)
         max_field = float(jnp.max(jnp.sqrt(jnp.sum(params["fields"]**2,
                                                    axis=1))))
-        Hy = jnp.linspace(1e-9, 1.0, num_points)
+        theta_max = jnp.deg2rad(max_field)
+        # reference analysis/distortion.py:112-139: the ideal image height is
+        # scaled by a parabasal constant yr[0]/tan(1e-10*theta_max), not f2
+        Hy = jnp.linspace(1e-10, 1.0, num_points)
         self.fields = Hy * max_field
         self.data = []
-        f2 = par.f2()
         for wl in wavelengths:
             rays = real_trace.trace_generic(model, params,
                                             jnp.zeros_like(Hy), Hy,
                                             jnp.zeros_like(Hy),
                                             jnp.zeros_like(Hy), wl)
-            y_real = rays.y
-            ang = jnp.deg2rad(Hy * max_field)
-            if distortion_type == "f_tan":
-                y_ref = f2 * jnp.tan(ang)
-            elif distortion_type == "f_theta":
-                y_ref = f2 * ang
+            yr = rays.y
+            const = yr[0] / jnp.tan(1e-10 * theta_max)
+            if distortion_type in ("f_tan", "f-tan"):
+                yp = const * jnp.tan(Hy * theta_max)
+            elif distortion_type in ("f_theta", "f-theta"):
+                yp = const * Hy * theta_max
             else:
-                raise ValueError("distortion_type must be f_tan or f_theta")
-            self.data.append(100.0 * (y_real - y_ref) / y_ref)
+                raise ValueError("distortion_type must be f-tan or f-theta")
+            self.data.append(100.0 * (yr - yp) / yp)
 
     def view(self):
         import matplotlib.pyplot as plt
@@ -122,26 +143,45 @@ class GridDistortion:
     """Distortion of a rectangular field grid (reference
     analysis/grid_distortion.py)."""
 
-    def __init__(self, optic, wavelength=None, num_points: int = 10):
+    def __init__(self, optic, wavelength=None, num_points: int = 10,
+                 distortion_type: str = "f-tan"):
         model, params = optic.build()
         wavelength = wavelength or optic.primary_wavelength
-        par = Paraxial(model, params)
-        # paraxial magnification-based ideal grid
-        extent = jnp.linspace(-1, 1, num_points) / jnp.sqrt(2.0)
+        max_field = float(jnp.max(jnp.sqrt(jnp.sum(params["fields"]**2,
+                                                   axis=1))))
+        theta_max = jnp.deg2rad(max_field)
+        zero = jnp.zeros(1)
+        # reference grid_distortion.py:143-181: ideal grid from a parabasal
+        # constant const = (y_ref - y_chief)/tan(1e-10*theta_max), real grid
+        # recentered on the chief ray
+        chief = real_trace.trace_generic(model, params, zero, zero, zero,
+                                         zero, wavelength)
+        x_chief, y_chief = chief.x[0], chief.y[0]
+        parab = real_trace.trace_generic(model, params, zero,
+                                         jnp.full(1, 1e-10), zero, zero,
+                                         wavelength)
+        y_ref = parab.y[0]
+        extent = jnp.linspace(-1, 1, num_points) * (jnp.sqrt(2.0) / 2)
         Hx, Hy = jnp.meshgrid(extent, extent)
+        if distortion_type == "f-tan":
+            const = (y_ref - y_chief) / jnp.tan(1e-10 * theta_max)
+            self.x_ideal = const * jnp.tan(Hx * theta_max)
+            self.y_ideal = const * jnp.tan(Hy * theta_max)
+        elif distortion_type == "f-theta":
+            const = (y_ref - y_chief) / (1e-10 * theta_max)
+            self.x_ideal = const * Hx * theta_max
+            self.y_ideal = const * Hy * theta_max
+        else:
+            raise ValueError("distortion_type must be f-tan or f-theta")
         rays = real_trace.trace_generic(model, params, Hx.ravel(), Hy.ravel(),
                                         jnp.zeros(num_points**2),
                                         jnp.zeros(num_points**2), wavelength)
-        self.x_real = rays.x.reshape(num_points, num_points)
-        self.y_real = rays.y.reshape(num_points, num_points)
-        # ideal: scale corner-linear
-        max_y = jnp.max(jnp.abs(self.y_real))
-        self.x_ideal = Hx / jnp.max(jnp.abs(Hx)) * jnp.max(jnp.abs(self.x_real))
-        self.y_ideal = Hy / jnp.max(jnp.abs(Hy)) * max_y
-        self.max_distortion = 100.0 * jnp.max(
-            jnp.sqrt((self.x_real - self.x_ideal) ** 2
-                     + (self.y_real - self.y_ideal) ** 2)
-            / jnp.sqrt(self.x_ideal**2 + self.y_ideal**2 + 1e-12))
+        self.x_real = rays.x.reshape(num_points, num_points) - x_chief
+        self.y_real = rays.y.reshape(num_points, num_points) - y_chief
+        delta = jnp.sqrt((self.x_ideal - self.x_real) ** 2
+                         + (self.y_ideal - self.y_real) ** 2)
+        rp = jnp.sqrt(self.x_ideal**2 + self.y_ideal**2)
+        self.max_distortion = jnp.max(100.0 * delta / rp)
 
     def view(self):
         import matplotlib.pyplot as plt
@@ -336,28 +376,28 @@ class ThroughFocusSpotDiagram:
 
 
 class BestFitRayFan(RayFan):
-    """Ray fan referenced to the centroid-anchored best-fit sphere center
-    instead of the chief ray (reference analysis/ray_fan.py:242-346)."""
+    """Ray fan referenced to the (x, y) center of the wavefront's best-fit
+    sphere instead of the chief ray (reference analysis/ray_fan.py:242-346).
+
+    Unlike RayFan, the fans are NOT recentered per wavelength: the origin is
+    the best-fit sphere center computed at the primary wavelength from a
+    hexapolar pupil sampling, so distortion is included."""
 
     def __init__(self, optic, fields="all", wavelengths="all",
-                 num_points: int = 64):
+                 num_points: int = 256, num_rays_for_fit: int = 15):
         super().__init__(optic, fields=fields, wavelengths=wavelengths,
                          num_points=num_points)
         model, params = optic.build()
-        from .wavefront import wavefront_data
-        from ..core.distributions import generate_distribution
-        Px, Py = generate_distribution("hexapolar", 6)
+        primary = optic.primary_wavelength
+        Px, Py = generate_distribution("hexapolar", num_rays_for_fit)
         for f in self.fields:
+            d = wavefront_data(model, params, f, primary, Px, Py,
+                               strategy="best_fit_sphere")
+            ref_x, ref_y, _ = d.center
             for wl in self.wavelengths:
-                d = wavefront_data(model, params, f, wl, Px, Py,
-                                   strategy="centroid_sphere")
                 entry = self.data[(f, wl)]
-                w = d.intensity
-                cx = jnp.sum(d.pupil_x * 0 + w * 0)  # placeholder
-                # reference uses the best-fit sphere center (x, y): approx by
-                # the intensity-weighted image centroid of the traced bundle
-                entry["y_fan"] = entry["y"] - jnp.sum(entry["y"]) /                     entry["y"].shape[0]
-                entry["x_fan"] = entry["x"] - jnp.sum(entry["x"]) /                     entry["x"].shape[0]
+                entry["y_fan"] = entry["y"] - ref_y
+                entry["x_fan"] = entry["x"] - ref_x
 
 
 class AngleVsHeight:

@@ -66,7 +66,9 @@ class FFTMTF:
 
 class GeometricMTF:
     """Geometric MTF from spot-diagram ray distributions
-    (reference mtf/geometric.py): line-spread function per axis -> |FT|."""
+    (reference mtf/geometric.py): binned line-spread function per axis ->
+    cosine/sine transform magnitude, optionally scaled by the
+    diffraction-limited MTF."""
 
     def __init__(self, optic, fields="all", wavelength=None,
                  num_rays: int = 100, distribution: str = "uniform",
@@ -84,41 +86,41 @@ class GeometricMTF:
         lam_mm = wavelength * 1e-3
         self.cutoff = 1.0 / (lam_mm * fno)
         self.max_freq = self.cutoff if max_freq == "cutoff" else max_freq
+        self.num_points = num_points
         self.freq = jnp.linspace(0.0, self.max_freq, num_points)
         self.scale = scale
 
         data = spot_diagram(model, params, fields=fields,
                             wavelengths=[wavelength], num_rays=num_rays,
                             distribution=distribution)
+        # diffraction-limited scale factor — reference mtf/geometric.py:163-168
+        # (quirk: normalized by max_freq, not the optical cutoff, so a
+        # user-specified max_freq rescales the reference curve too)
+        if scale:
+            phi = jnp.arccos(jnp.clip(self.freq / self.max_freq, -1.0, 1.0))
+            self.diff_limited_mtf = 2 / jnp.pi * (phi - jnp.cos(phi)
+                                                  * jnp.sin(phi))
+        else:
+            self.diff_limited_mtf = jnp.ones_like(self.freq)
         self.mtf = []   # per field: (tangential, sagittal)
         for i in range(len(fields)):
-            x_raw = data.x[i, 0]
-            y_raw = data.y[i, 0]
-            ok = jnp.isfinite(x_raw) & jnp.isfinite(y_raw)
-            w = jnp.where(ok, data.intensity[i, 0], 0.0)
-            wsum = jnp.maximum(jnp.sum(w), 1e-12)
-            x_raw = jnp.where(ok, x_raw, 0.0)
-            y_raw = jnp.where(ok, y_raw, 0.0)
-            xs = x_raw - jnp.sum(x_raw * w) / wsum
-            ys = y_raw - jnp.sum(y_raw * w) / wsum
-            mt = self._axis_mtf(ys, w)
-            ms = self._axis_mtf(xs, w)
+            mt = self._axis_mtf(data.y[i, 0])
+            ms = self._axis_mtf(data.x[i, 0])
             self.mtf.append((mt, ms))
 
-    def _axis_mtf(self, coord, weight):
-        """|sum w exp(-2pi i f x)| / sum w — exact geometric MTF of the ray
-        distribution (equivalent to the reference's binned LSF + FT in the
-        limit of fine bins)."""
-        f = self.freq[:, None]
-        ph = -2 * jnp.pi * f * coord[None, :]
-        c = jnp.sum(weight[None, :] * jnp.exp(1j * ph), axis=1)
-        mtf = jnp.abs(c) / jnp.maximum(jnp.sum(weight), 1e-12)
-        if self.scale:
-            # scale by the diffraction-limited MTF (reference mtf/base.py)
-            v = jnp.clip(self.freq / self.cutoff, 0.0, 1.0)
-            dl = 2 / jnp.pi * (jnp.arccos(v) - v * jnp.sqrt(1 - v**2))
-            mtf = mtf * dl
-        return mtf
+    def _axis_mtf(self, coord):
+        """Reference mtf/geometric.py:176-205: unweighted histogram of the ray
+        coordinates into num_points+1 bins (the LSF), then
+        mtf(v) = sqrt(Ac^2 + As^2) with Ac/As the cosine/sine moments of the
+        binned LSF at bin centers. Expressed as one [F, B] contraction."""
+        coord = coord[jnp.isfinite(coord)]
+        A, edges = jnp.histogram(coord, bins=self.num_points + 1)
+        x = (edges[1:] + edges[:-1]) / 2
+        Anorm = A / jnp.maximum(jnp.sum(A), 1)
+        ph = 2 * jnp.pi * self.freq[:, None] * x[None, :]
+        Ac = jnp.sum(Anorm[None, :] * jnp.cos(ph), axis=1)
+        As = jnp.sum(Anorm[None, :] * jnp.sin(ph), axis=1)
+        return jnp.sqrt(Ac**2 + As**2) * self.diff_limited_mtf
 
     def view(self):
         import matplotlib.pyplot as plt

@@ -19,7 +19,8 @@ from ..trace import real as real_trace
 from ..trace.paraxial import Paraxial
 from .wavefront import Wavefront, wavefront_data
 
-__all__ = ["FFTPSF", "HuygensPSF", "calculate_grid_size", "fft_psf_from_pupil"]
+__all__ = ["FFTPSF", "HuygensPSF", "calculate_grid_size", "fft_psf_from_pupil",
+           "get_working_FNO"]
 
 
 def calculate_grid_size(num_rays: int):
@@ -119,66 +120,184 @@ def _scatter_disk(P_flat, inside_mask, values):
     return jnp.where(inside_mask, full, 0.0).astype(values.dtype)
 
 
+def get_working_FNO(model, params, field, wavelength):
+    """Working F-number from four marginal rays + chief ray
+    (reference utils.py:14-64)."""
+    from ..trace.paraxial import system_arrays
+    hx, hy = field
+    _, n_arr, _ = system_arrays(model, params, wavelength)
+    n = n_arr[-1]
+    Px = jnp.array([0.0, 0.0, 0.0, 1.0, -1.0])
+    Py = jnp.array([0.0, 1.0, -1.0, 0.0, 0.0])
+    rays = real_trace.trace_generic(model, params, hx, hy, Px, Py, wavelength)
+    dot = rays.L[0] * rays.L[1:] + rays.M[0] * rays.M[1:] \
+        + rays.N[0] * rays.N[1:]
+    angles = jnp.arccos(jnp.clip(dot, -1.0, 1.0))
+    avg_na_sq = jnp.mean((n * jnp.sin(angles)) ** 2)
+    fno = jnp.where(avg_na_sq <= 0, jnp.inf, 1.0 / (2 * jnp.sqrt(avg_na_sq)))
+    return jnp.minimum(fno, 10000.0)
+
+
+def _image_surface_pose(model, params):
+    """(R, tx, ty, tz) pose of the image surface in the global frame."""
+    from ..core.transforms import rotation_matrix
+    pos = positions_from_params(params)
+    spec = model.surfaces[-1]
+    sp = params["surfaces"][-1]
+    tz = pos[-1]
+    if spec.has_tilt_decenter:
+        cs = sp["cs"]
+        Rm = rotation_matrix(cs["rx"], cs["ry"], cs["rz"])
+        return Rm, cs["dx"], cs["dy"], tz + cs["dz"]
+    return None, 0.0, 0.0, tz
+
+
+def _image_to_local(model, params, x, y, z):
+    Rm, tx, ty, tz = _image_surface_pose(model, params)
+    if Rm is None:
+        return x - tx, y - ty, z - tz
+    v = jnp.stack([x - tx, y - ty, z - tz])
+    out = Rm.T @ v.reshape(3, -1)
+    return (out[0].reshape(x.shape), out[1].reshape(x.shape),
+            out[2].reshape(x.shape))
+
+
+def _image_to_global(model, params, x, y, z):
+    Rm, tx, ty, tz = _image_surface_pose(model, params)
+    if Rm is None:
+        return x + tx, y + ty, z + tz
+    v = Rm @ jnp.stack([x, y, z]).reshape(3, -1)
+    return (v[0].reshape(x.shape) + tx, v[1].reshape(x.shape) + ty,
+            v[2].reshape(x.shape) + tz)
+
+
 class HuygensPSF:
     """Huygens-Fresnel direct-summation PSF (reference psf/huygens_fresnel.py:25-339).
 
-    PSF(r_img) = | sum_pupil A_p exp(i k OPL(p -> r_img)) |^2 over an image
-    grid centered on the spot centroid. This is the heaviest kernel in the
-    reference (numba-parallel there); here one batched complex reduction.
+    PSF(img) = | sum_p amp_p e^{-ik opd_p} e^{ikR}/R (1+cos theta)/2 |^2 over
+    pupil samples on the exit-pupil reference sphere, normalized so an ideal
+    (zero-OPD, same-amplitude) pupil peaks at 100. This is the heaviest kernel
+    in the reference (its only numba kernel); here one batched XLA reduction
+    (kernels/huygens.py) that tiles onto the TPU VPU.
     """
 
     def __init__(self, optic, field, wavelength=None, num_rays: int = 128,
-                 image_size: int = 128, image_extent=None):
+                 image_size: int = 128, strategy: str = "chief_ray",
+                 remove_tilt: bool = False, oversample: float | None = None,
+                 pixel_pitch: float | None = None):
         self.optic = optic
         model, params = optic.build()
+        self.model, self.params = model, params
         wavelength = wavelength or optic.primary_wavelength
         self.wavelength = wavelength
-        Px, Py = generate_distribution("uniform", num_rays)
-        hx, hy = field
-        rays = real_trace.trace_generic(model, params, hx, hy, Px, Py,
-                                        wavelength)
+        self.field = field
+        self.num_rays = num_rays
+        self.image_size = image_size
+        self.oversample = oversample
+        self.pixel_pitch = pixel_pitch
 
-        w = rays.intensity
-        wsum = jnp.sum(w)
-        cx = jnp.sum(rays.x * w) / wsum
-        cy = jnp.sum(rays.y * w) / wsum
+        self.wavefront = Wavefront(optic, fields=[field],
+                                   wavelengths=[wavelength],
+                                   num_rays=num_rays, distribution="uniform",
+                                   strategy=strategy, remove_tilt=remove_tilt)
+        self.psf = self._compute_psf()
 
-        if image_extent is None:
-            par = Paraxial(model, params)
-            fno = par.FNO()
-            image_extent = 8.0 * 1.22 * wavelength * 1e-3 * fno
-        xs = jnp.linspace(-image_extent / 2, image_extent / 2, image_size) + cx
-        ys = jnp.linspace(-image_extent / 2, image_extent / 2, image_size) + cy
+    def get_data(self, field, wl):
+        return self.wavefront.get_data(field, wl)
 
-        self.psf = self._sum(rays, xs, ys)
-        self.x_grid, self.y_grid = xs, ys
+    def _determine_image_center(self):
+        """Centroid of a hexapolar footprint in image-surface local coords
+        (reference huygens_fresnel.py:113-137)."""
+        Px, Py = generate_distribution("hexapolar", 6)
+        hx, hy = self.field
+        rays = real_trace.trace_generic(self.model, self.params, hx, hy,
+                                        Px, Py, self.wavelength)
+        valid = rays.intensity > 0
+        rx, ry, _ = _image_to_local(self.model, self.params,
+                                    rays.x, rays.y, rays.z)
+        nv = jnp.maximum(jnp.sum(valid), 1)
+        cx = jnp.sum(jnp.where(valid, rx, 0.0)) / nv
+        cy = jnp.sum(jnp.where(valid, ry, 0.0)) / nv
+        return rx, ry, valid, cx, cy
 
-    def _sum(self, rays, xs, ys):
-        """Direct diffraction-integral summation via the chunked XLA reducer
-        (kernels/huygens.py), or the fused Pallas kernel on TPU."""
-        import jax
-        from ..kernels.huygens import huygens_sum_pallas, huygens_sum_xla
+    def _get_image_extent(self):
+        """Half-extent of the image window (reference huygens_fresnel.py:139-202):
+        pixel_pitch override, else cutoff-frequency (oversample mode), else
+        max(geometric footprint, 5 Airy radii)."""
+        rx, ry, valid, cx, cy = self._determine_image_center()
+        self.cx, self.cy = cx, cy
+        wl_mm = self.wavelength * 1e-3
+        if self.pixel_pitch is not None:
+            extent = 0.5 * self.image_size * self.pixel_pitch
+        else:
+            fno = get_working_FNO(self.model, self.params, self.field,
+                                  self.wavelength)
+            if self.oversample is not None:
+                f_cutoff = 1.0 / (fno * wl_mm)
+                self.pixel_pitch = 1.0 / (2 * self.oversample * f_cutoff)
+                extent = 0.5 * self.image_size * self.pixel_pitch
+            else:
+                geom = jnp.max(jnp.where(
+                    valid, jnp.hypot(rx - cx, ry - cy), 0.0))
+                ideal = 5.0 * fno * 1.22 * wl_mm
+                extent = jnp.maximum(geom, ideal)
+                self.pixel_pitch = 2 * extent / self.image_size
+        return cx - extent, cx + extent, cy - extent, cy + extent
+
+    def _get_image_coordinates(self):
+        xmin, xmax, ymin, ymax = self._get_image_extent()
+        n = self.image_size
+        gx = jnp.linspace(xmin, xmax, n)
+        gy = jnp.linspace(ymin, ymax, n)
+        X, Y = jnp.meshgrid(gx, gy)
+        spec = self.model.surfaces[-1]
+        sp = self.params["surfaces"][-1]
+        Z = jnp.broadcast_to(spec.geometry.sag(sp["geom"], X.ravel(),
+                                               Y.ravel()).reshape(X.shape),
+                             X.shape)
+        self.x_grid, self.y_grid = gx, gy
+        return _image_to_global(self.model, self.params, X, Y, Z)
+
+    def _sum(self, data, opd_mm, ix, iy, iz):
+        from ..kernels.huygens import huygens_fresnel_xla
         k = 2 * jnp.pi / (self.wavelength * 1e-3)
-        # Back-propagate rays off the image plane so spherical wavelets
-        # expand forward toward every image point.
-        back = 10.0 * jnp.max(jnp.abs(rays.z - jnp.mean(rays.z)) + 1.0)
-        x0 = rays.x - back * rays.L
-        y0 = rays.y - back * rays.M
-        z0 = rays.z - back * rays.N
-        opl0 = rays.opd - back  # in air (n=1 image space assumed)
-        amp = jnp.sqrt(jnp.maximum(rays.intensity, 0.0))
+        finite = (jnp.isfinite(data.pupil_x) & jnp.isfinite(data.pupil_y)
+                  & jnp.isfinite(data.pupil_z) & jnp.isfinite(opd_mm))
+        px = jnp.where(finite, data.pupil_x, 0.0)
+        py = jnp.where(finite, data.pupil_y, 0.0)
+        pz = jnp.where(finite, data.pupil_z, 1.0)
+        amp = jnp.where(finite, data.intensity, 0.0)
+        opd = jnp.where(finite, opd_mm, 0.0)
+        return huygens_fresnel_xla(px, py, pz, amp, opd, ix.ravel(),
+                                   iy.ravel(), iz.ravel(), k, data.radius
+                                   ).reshape(ix.shape)
 
-        X, Y = jnp.meshgrid(xs, ys, indexing="xy")
-        ix = X.ravel()
-        iy = Y.ravel()
-        iz = jnp.broadcast_to(jnp.mean(rays.z), ix.shape)
+    def _get_normalization(self, data):
+        """Peak of the ideal (zero-OPD) PSF at the on-axis field
+        (reference huygens_fresnel.py:231-279)."""
+        if tuple(self.field) == (0.0, 0.0):
+            d0 = data
+        else:
+            wf = Wavefront(self.optic, fields=[(0, 0)],
+                           wavelengths=[self.wavelength],
+                           num_rays=self.num_rays, distribution="uniform")
+            d0 = wf.get_data((0, 0), self.wavelength)
+        pos = positions_from_params(self.params)
+        one = jnp.zeros((1, 1))
+        iz = jnp.full((1, 1), pos[-1])
+        ideal = self._sum(d0, jnp.zeros_like(d0.opd), one, one, iz)
+        return ideal[0, 0]
 
-        # XLA's batched [tile, P] contraction outperforms the scalar-
-        # broadcast Pallas kernel on TPU (9.3 vs 6.0 Gpairs/s measured);
-        # the Pallas path remains available in kernels/huygens.py.
-        psf = huygens_sum_xla(x0, y0, z0, opl0, amp, ix, iy, iz, k)
-        psf = psf / jnp.max(psf)
-        return psf.reshape(ys.shape[0], xs.shape[0])
+    def _compute_psf(self):
+        data = self.get_data(self.field, self.wavelength)
+        wl_mm = self.wavelength * 1e-3
+        ix, iy, iz = self._get_image_coordinates()
+        psf = self._sum(data, data.opd * wl_mm, ix, iy, iz)
+        return psf / self._get_normalization(data) * 100.0
+
+    def strehl_ratio(self):
+        c = self.image_size // 2
+        return self.psf[c, c] / 100.0
 
     def view(self, log: bool = False):
         import matplotlib.pyplot as plt

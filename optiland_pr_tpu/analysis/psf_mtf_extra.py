@@ -25,33 +25,47 @@ class MMDFTPSF:
     """Matrix-method (zoomed) DFT PSF (reference psf/mmdft.py:19-315).
 
     G = L @ P @ R with L/R complex DFT kernels mapping the pupil grid to an
-    arbitrary image grid/pitch — two MXU matmuls instead of a padded FFT.
-    With default sizing it reproduces FFTPSF.
+    image grid of chosen size/pixel pitch — two dense MXU matmuls instead of
+    a padded FFT. Kernel pad size = wl * working_FNO * (num_rays-1) /
+    pixel_pitch, exactly the reference parameterization, so the default
+    sizing reproduces FFTPSF's sampling.
     """
 
     def __init__(self, optic, field, wavelength=None, num_rays: int = 128,
-                 image_size: int | None = None, pixel_scale: float | None = None,
+                 image_size: int | None = None,
+                 pixel_pitch: float | None = None,
                  strategy: str = "chief_ray", remove_tilt: bool = False):
-        if image_size is None and pixel_scale is None:
+        from .psf import get_working_FNO
+        grid_size = None
+        if image_size is None and pixel_pitch is None:
             if num_rays < 32:
                 raise ValueError("num_rays must be >= 32 when image sizing "
                                  "is not specified")
-            num_rays, image_size = calculate_grid_size(num_rays)
+            num_rays, grid_size = calculate_grid_size(num_rays)
         wavelength = wavelength or optic.primary_wavelength
         self.optic = optic
         self.field = field
         self.num_rays = num_rays
+
+        model, params = optic.build()
+        clear_size = num_rays - 1
+        fno = float(get_working_FNO(model, params, field, wavelength))
+        if pixel_pitch is None:
+            if image_size is None:
+                image_size = grid_size
+            pixel_pitch = wavelength * fno * clear_size / image_size
+        if image_size is None:
+            image_size = int(wavelength * fno * clear_size / pixel_pitch)
         self.image_size = image_size
-        # pixel scale in units of (pupil-sample frequency bins); default
-        # matches FFTPSF's zero-padding ratio num_rays/(2*num_rays) etc.
-        self.zoom = pixel_scale if pixel_scale is not None else 1.0
+        self.pixel_pitch = pixel_pitch
+        self._fno = fno
 
         self.wavefront = Wavefront(optic, fields=[field],
                                    wavelengths=[wavelength],
                                    num_rays=num_rays, distribution="uniform",
                                    strategy=strategy, remove_tilt=remove_tilt)
         self.pupil = self._pupil(wavelength)
-        self.psf = self._compute_psf()
+        self.psf = self._compute_psf(wavelength)
 
     def _pupil(self, wl):
         from .psf import _scatter_disk
@@ -72,19 +86,22 @@ class MMDFTPSF:
         P = _scatter_disk(P, inside, vals)
         return P.reshape(n, n)
 
-    def _kernels(self):
+    def _kernels(self, wl):
+        """Reference psf/mmdft.py:232-295: non-unitary zoomed DFT kernels."""
         n = self.num_rays
         g = self.image_size
-        m = jnp.arange(n)
-        p = (jnp.arange(g) - g // 2) * self.zoom
-        # FFT-equivalent zoomed DFT: pitch 1/(2*num_rays) of pupil frequency
-        # when image_size = 2*num_rays (the FFTPSF default)
-        phase = -2j * jnp.pi * jnp.outer(p, m) / (2 * n)
-        L = jnp.exp(phase)
-        return L, L.T
+        pad = wl * self._fno * (n - 1) / self.pixel_pitch
+        if g > pad:
+            raise ValueError(f"image_size {g} exceeds pad size {int(pad)}; "
+                             "increase num_rays")
+        pc = jnp.arange(n) - n // 2
+        ic = jnp.arange(g) - g // 2
+        R = jnp.exp(-2j * jnp.pi * jnp.outer(pc, ic) / pad)
+        L = jnp.exp(-2j * jnp.pi * jnp.outer(ic, pc) / pad)
+        return L, R
 
-    def _compute_psf(self):
-        L, R = self._kernels()
+    def _compute_psf(self, wl):
+        L, R = self._kernels(wl)
         G = L @ self.pupil.astype(L.dtype) @ R
         psf = jnp.real(G * jnp.conj(G))
         norm = jnp.sum(jnp.abs(self.pupil) > 0).astype(psf.dtype) ** 2
@@ -120,7 +137,8 @@ class SampledMTF:
         self.fit = ZernikeFit(Px, Py, d.opd, zernike_type, zernike_terms)
         par = Paraxial(model, params)
         self.xpd = float(par.XPD())
-        self.xpl = float(par.XPL())
+        # reference mtf/sampled.py:97 negates XPL before forming the shift
+        self.xpl = -float(par.XPL())
         cdtype = jnp.complex128 if Px.dtype == jnp.float64 else jnp.complex64
         self.P1 = (jnp.sqrt(jnp.maximum(self.intensity, 0.0))
                    * jnp.exp(1j * 2 * jnp.pi * self.opd_waves)).astype(cdtype)
@@ -152,24 +170,38 @@ class SampledMTF:
 
 
 class HuygensMTF:
-    """MTF from the Huygens-Fresnel PSF (reference mtf/huygens.py): the same
-    |FFT| reduction FFTMTF applies, on the direct-summation PSF."""
+    """MTF from the Huygens-Fresnel PSF (reference mtf/huygens_fresnel.py):
+    2x-oversampled (vs the optical cutoff) Huygens PSF, |FFT| slices clipped
+    to [0, 1], DC-normalized."""
 
-    def __init__(self, optic, field=(0, 0), wavelength=None,
-                 num_rays: int = 64, image_size: int = 128):
+    def __init__(self, optic, fields="all", wavelength=None,
+                 num_rays: int = 64, image_size: int = 128,
+                 max_freq="cutoff"):
+        from ..system.model import field_coords
         wavelength = wavelength or optic.primary_wavelength
-        self.psf_obj = HuygensPSF(optic, field, wavelength, num_rays=num_rays,
-                                  image_size=image_size)
-        psf = self.psf_obj.psf
-        otf = jnp.fft.fftshift(jnp.fft.fft2(jnp.fft.ifftshift(psf)))
-        mtf2d = jnp.abs(otf)
+        model, params = optic.build()
+        if fields == "all":
+            fields = field_coords(params)
+        self.fields = fields
+        self.wavelength = wavelength
+        self.image_size = image_size
+        self.psf_instances = []
+        self.mtf = []
         c = image_size // 2
-        mtf2d = mtf2d / mtf2d[c, c]
-        self.mtf_tangential = mtf2d[c:, c]
-        self.mtf_sagittal = mtf2d[c, c:]
-        # frequency axis from the PSF image pitch
-        dx = float(self.psf_obj.x_grid[1] - self.psf_obj.x_grid[0])
-        self.freq = jnp.arange(c) / (dx * image_size)
+        for f in fields:
+            p = HuygensPSF(optic, f, wavelength, num_rays=num_rays,
+                           image_size=image_size, oversample=2.0)
+            self.psf_instances.append(p)
+            otf = jnp.fft.fftshift(jnp.fft.fft2(p.psf))
+            mtf2d = jnp.abs(otf)
+            dc = mtf2d[c, c]
+            tan = jnp.clip(mtf2d[c:, c][:c] / dc, 0.0, 1.0)
+            sag = jnp.clip(mtf2d[c, c:][:c] / dc, 0.0, 1.0)
+            self.mtf.append([tan, sag])
+        pitch = self.psf_instances[0].pixel_pitch
+        self.freq = jnp.arange(c) * (1.0 / (image_size * pitch))
+        self.mtf_tangential = self.mtf[0][0]
+        self.mtf_sagittal = self.mtf[0][1]
 
 
 class ThroughFocusMTF:

@@ -32,6 +32,7 @@ class WavefrontData:
     opd: jnp.ndarray            # in waves
     intensity: jnp.ndarray
     radius: jnp.ndarray         # reference-sphere radius
+    center: tuple | None = None  # reference-sphere center (x, y, z)
 
 
 def _opd_image_to_xp(rays, xc, yc, zc, R, n_image):
@@ -96,23 +97,67 @@ def wavefront_data(model: OpticModel, params, field, wavelength, Px, Py,
         opd_ref = _correct_tilt(model, params, field, opd_ref,
                                 jnp.zeros(1), jnp.zeros(1), epd)
     elif strategy in ("centroid_sphere", "best_fit_sphere"):
-        w = rays.intensity
-        wsum = jnp.sum(w)
-        xc = jnp.sum(rays.x * w) / wsum
-        yc = jnp.sum(rays.y * w) / wsum
-        zc = jnp.sum(rays.z * w) / wsum
-        # per-ray OPL back-projected: choose R as the weighted mean distance
-        # along the reversed rays to the centroid (robust anchored sphere).
-        dx = rays.x - xc
-        dy = rays.y - yc
-        dz = rays.z - zc
-        R = jnp.sum(jnp.sqrt(dx**2 + dy**2 + dz**2) * w) / wsum
-        # use exit-pupil distance as radius scale for best-fit variant
-        if strategy == "best_fit_sphere":
-            pupil_z = par.XPL() + pos[-1]
-            R = jnp.sqrt(xc**2 + yc**2 + (zc - pupil_z) ** 2)
-        opd_ref = jnp.zeros(1)
+        # Reference wavefront/strategy.py:272-511: tilt-correct the raw OPL
+        # FIRST (so the back-projected wavefront points use corrected OPL),
+        # then anchor the sphere on the image-plane centroid (centroid_sphere,
+        # with a 3-sigma robust trim) or a least-squares sphere fit
+        # (best_fit_sphere). Piston is removed with the unweighted mean over
+        # valid rays.
         epd = par.EPD()
+        opd_corr = _correct_tilt(model, params, field, rays.opd, Px, Py, epd)
+        rays = rays.replace(opd=opd_corr)
+        valid = (jnp.isfinite(rays.x) & jnp.isfinite(rays.y)
+                 & jnp.isfinite(rays.z) & jnp.isfinite(rays.L)
+                 & jnp.isfinite(rays.M) & jnp.isfinite(rays.N)
+                 & jnp.isfinite(rays.opd) & (rays.intensity != 0))
+        vf = valid.astype(rays.opd.dtype)
+        xr = jnp.where(valid, rays.x, 0.0)
+        yr = jnp.where(valid, rays.y, 0.0)
+        zr = jnp.where(valid, rays.z, 0.0)
+        # wavefront points: back-project by total OPL along reversed rays
+        s = jnp.where(valid, rays.opd, 0.0) / n_image
+        wx = xr - s * jnp.where(valid, rays.L, 0.0)
+        wy = yr - s * jnp.where(valid, rays.M, 0.0)
+        wz = zr - s * jnp.where(valid, rays.N, 0.0)
+        if strategy == "centroid_sphere":
+            # reference strategy.py:367-404: the weight branches both
+            # collapse to uniform ones over valid rays (documented quirk)
+            w0 = vf
+            nv = jnp.sum(w0)
+            cx = jnp.sum(xr * w0) / nv
+            cy = jnp.sum(yr * w0) / nv
+            cz = jnp.sum(zr * w0) / nv
+            # robust 3-sigma trim on image-plane distances
+            d_img = jnp.sqrt((xr - cx) ** 2 + (yr - cy) ** 2 + (zr - cz) ** 2)
+            mean_d = jnp.sum(d_img * w0) / nv
+            std_d = jnp.sqrt(jnp.sum((d_img - mean_d) ** 2 * w0) / nv)
+            keep = w0 * (d_img <= mean_d + 3.0 * std_d)
+            use_trim = (std_d > 0) & (jnp.sum(keep) >= 4)
+            w = jnp.where(use_trim, keep, w0)
+            nw = jnp.sum(w)
+            xc = jnp.sum(xr * w) / nw
+            yc = jnp.sum(yr * w) / nw
+            zc = jnp.sum(zr * w) / nw
+            d_wf = jnp.sqrt((wx - xc) ** 2 + (wy - yc) ** 2 + (wz - zc) ** 2)
+            R = jnp.sum(w * d_wf) / nw
+        else:  # best_fit_sphere: LSQ sphere through the wavefront points
+            # (reference strategy.py:432-511): 2x·xc+2y·yc+2z·zc+(R²-|c|²)=|p|²
+            A = jnp.stack([wx, wy, wz, jnp.ones_like(wx)], axis=1) * vf[:, None]
+            b = (wx**2 + wy**2 + wz**2) * vf
+            c = jnp.linalg.lstsq(A, b, rcond=None)[0]
+            xc, yc, zc = c[0] / 2, c[1] / 2, c[2] / 2
+            R = jnp.sqrt(c[3] + xc**2 + yc**2 + zc**2)
+        opd_img = _opd_image_to_xp(rays, xc, yc, zc, R, n_image)
+        opd = rays.opd - opd_img
+        mean_opd = jnp.sum(jnp.where(rays.intensity > 0, opd, 0.0)) \
+            / jnp.maximum(jnp.sum(rays.intensity > 0), 1)
+        opd_wv = (mean_opd - opd) / (wavelength * 1e-3)
+        t = opd_img / n_image
+        return WavefrontData(pupil_x=rays.x - t * rays.L,
+                             pupil_y=rays.y - t * rays.M,
+                             pupil_z=rays.z - t * rays.N, opd=opd_wv,
+                             intensity=rays.intensity, radius=R,
+                             center=(xc, yc, zc))
     else:
         raise ValueError(f"unknown wavefront strategy {strategy}")
 
@@ -120,11 +165,6 @@ def wavefront_data(model: OpticModel, params, field, wavelength, Px, Py,
     opd = rays.opd - opd_img
     opd = _correct_tilt(model, params, field, opd, Px, Py, epd)
     opd_wv = (opd_ref - opd) / (wavelength * 1e-3)
-    if strategy != "chief_ray":
-        # anchor to weighted mean so the sphere-anchored variants report
-        # zero-mean wavefront error
-        w = rays.intensity
-        opd_wv = -(opd - jnp.sum(opd * w) / jnp.sum(w)) / (wavelength * 1e-3)
 
     t = opd_img / n_image
     pupil_x = rays.x - t * rays.L
@@ -132,7 +172,8 @@ def wavefront_data(model: OpticModel, params, field, wavelength, Px, Py,
     pupil_z_out = rays.z - t * rays.N
     return WavefrontData(pupil_x=pupil_x, pupil_y=pupil_y,
                          pupil_z=pupil_z_out, opd=opd_wv,
-                         intensity=rays.intensity, radius=R)
+                         intensity=rays.intensity, radius=R,
+                         center=(xc, yc, zc))
 
 
 def fit_and_remove_tilt(data: WavefrontData, remove_piston: bool = False,

@@ -161,13 +161,15 @@ def jones_polarizer_lcp():
 
 
 def jones_linear_diattenuator(t_min, t_max=1.0, theta=0.0):
-    """Diattenuator with transmission axes t_max at angle theta."""
+    """Diattenuator with amplitude transmissions t_max/t_min at angle theta
+    (reference jones.py:308-364: t_min/t_max are used directly as AMPLITUDE
+    coefficients, and the off-diagonal is the reference's literal
+    ``t_max - t_min*cos(theta)*sin(theta)`` — reproduced quirks, not the
+    textbook ``(t_max - t_min)*cos*sin`` form)."""
     c, s = jnp.cos(theta), jnp.sin(theta)
-    jx = jnp.sqrt(t_max)
-    jy = jnp.sqrt(t_min)
-    m00 = jx * c**2 + jy * s**2
-    m01 = (jx - jy) * c * s
-    m11 = jx * s**2 + jy * c**2
+    m00 = t_max * c**2 + t_min * s**2
+    m01 = t_max - t_min * c * s
+    m11 = t_max * s**2 + t_min * c**2
     return _rot2_jones(m00, m01, m01, m11)
 
 

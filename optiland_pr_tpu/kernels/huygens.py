@@ -20,7 +20,50 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["huygens_sum_xla", "huygens_sum_pallas"]
+__all__ = ["huygens_sum_xla", "huygens_sum_pallas", "huygens_fresnel_xla"]
+
+
+def huygens_fresnel_xla(px, py, pz, amp, opd, ix, iy, iz, k, Rp,
+                        chunk: int = 4096):
+    """Reference-exact Huygens-Fresnel summation
+    (optiland/psf/huygens_fresnel_strategies.py:96-173):
+
+    E(img) = sum_p amp_p * exp(-i k opd_p) * exp(i k R)/R * 0.5*(1+cos theta)
+
+    with the obliquity normal taken as the pupil point over the sphere radius
+    (nu = (u, v, w)/Rp, the reference's convention). px/py/pz/amp/opd: [P]
+    exit-pupil-sphere samples (opd in mm); ix/iy/iz: [I] image points;
+    returns |E|^2 [I]. Chunked over the image axis with lax.map so the
+    [chunk, P] tile stays VMEM-resident on TPU.
+    """
+    n = ix.shape[0]
+    pad = (-n) % chunk
+    tiles = tuple(jnp.pad(v, (0, pad)).reshape(-1, chunk)
+                  for v in (ix, iy, iz))
+    nux = px / Rp
+    nuy = py / Rp
+    nuz = pz / Rp
+    # pupil phase exp(-i k opd) folded into per-pupil re/im weights
+    pre = amp * jnp.cos(k * opd)
+    pim = -amp * jnp.sin(k * opd)
+
+    def one_tile(t):
+        tx, ty, tz = t
+        dx = tx[:, None] - px[None, :]
+        dy = ty[:, None] - py[None, :]
+        dz = tz[:, None] - pz[None, :]
+        r = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        cos_t = (dx * nux[None, :] + dy * nuy[None, :]
+                 + dz * nuz[None, :]) / r
+        q = 0.5 * (1.0 + cos_t) / r
+        cr, sr = jnp.cos(k * r), jnp.sin(k * r)
+        # (pre + i pim) * (cr + i sr) * q
+        re = jnp.sum(q * (pre[None, :] * cr - pim[None, :] * sr), axis=1)
+        im = jnp.sum(q * (pre[None, :] * sr + pim[None, :] * cr), axis=1)
+        return re * re + im * im
+
+    out = jax.lax.map(one_tile, tiles)
+    return out.reshape(-1)[:n]
 
 
 def huygens_sum_xla(px, py, pz, opl, amp, ix, iy, iz, k, chunk: int = 4096):

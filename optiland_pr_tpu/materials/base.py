@@ -75,7 +75,7 @@ _ABBE_COEFFS = None
 
 def _abbe_model_coefficients():
     """Load the Schott-catalog polynomial fit matrix (data asset extracted from
-    the public glass-fit used by the reference; see tools/gen_catalog.py)."""
+    the public glass-fit used by the reference; see tools/gen_full_catalog.py)."""
     global _ABBE_COEFFS
     if _ABBE_COEFFS is None:
         path = resources.files("optiland_pr_tpu.data").joinpath(

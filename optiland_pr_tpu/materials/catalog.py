@@ -1,13 +1,14 @@
-"""Glass-catalog lookup and material resolution.
+"""Material catalog lookup and material resolution.
 
-The standalone catalog (``data/glass_catalog.json``) holds dispersion
-coefficients extracted from the public refractiveindex.info database for the
-glasses used by the sample library; see tools/gen_catalog.py. A larger external
-database directory can be pointed to later without code changes.
+The standalone catalog ships the FULL refractiveindex.info database extracted
+from public data (see tools/gen_full_catalog.py): a row-ordered JSON index
+(``data/nk_catalog_index.json``) with formula coefficients/thermal data inline,
+and an NPZ (``data/nk_catalog_tables.npz``) holding the tabulated n/k arrays.
 
-The reference resolves names by similarity scoring against a packaged CSV
-(optiland/materials/material.py:22-60); here names must match the curated
-catalog (case-insensitive), which covers the whole sample library.
+Name resolution reproduces the reference's similarity-scored lookup
+(optiland/materials/material.py:22-260): case-insensitive substring filter over
+(category_name, name, filename_no_ext), optional reference/wavelength filters,
+then minimum-Levenshtein ranking with CSV-row-order tie-breaking.
 """
 from __future__ import annotations
 
@@ -15,63 +16,137 @@ import json
 from functools import lru_cache
 from importlib import resources
 
+import numpy as np
+
 from .base import (AIR, MIRROR, AbbeMaterial, FormulaMaterial, IdealMaterial,
                    MaterialModel, Mirror, TabulatedMaterial)
 
-__all__ = ["glass", "resolve_material", "catalog_names"]
+__all__ = ["glass", "material", "resolve_material", "catalog_names",
+           "find_material"]
+
+
+def _data_path(name):
+    path = resources.files("optiland_pr_tpu.data").joinpath(name)
+    with resources.as_file(path) as f:
+        return str(f)
 
 
 @lru_cache(maxsize=1)
-def _catalog() -> dict:
-    path = resources.files("optiland_pr_tpu.data").joinpath("glass_catalog.json")
-    with resources.as_file(path) as f:
-        with open(str(f)) as fh:
-            return json.load(fh)
+def _index() -> list:
+    with open(_data_path("nk_catalog_index.json")) as fh:
+        return json.load(fh)
+
+
+@lru_cache(maxsize=1)
+def _tables():
+    return np.load(_data_path("nk_catalog_tables.npz"))
+
+
+@lru_cache(maxsize=1)
+def _search_keys():
+    """Pre-lowered search fields, one tuple per catalog row."""
+    return [(r["category_name"].lower(), r["name"].lower(),
+             r["filename_no_ext"].lower(), r["category_name_full"].lower(),
+             r["reference"].lower(), r["filename"].lower())
+            for r in _index()]
 
 
 def catalog_names():
-    return sorted(_catalog().keys())
+    return sorted({r["category_name"] for r in _index()})
 
 
-def _find_entry(name: str, reference: str | None = None) -> dict:
-    cat = _catalog()
-    keys = [f"{name}|{reference}"] if reference else [name]
-    if not reference:
-        # a reference-qualified entry may be the only one present
-        keys += [k for k in cat if k.split("|")[0].upper() == name.upper()]
-    for key in keys:
-        for k in cat:
-            if k.upper() == key.upper():
-                return cat[k]
-    raise KeyError(
-        f"Glass {name!r} (reference={reference!r}) not in the catalog. "
-        f"Known: {', '.join(catalog_names()[:10])}...")
+def _levenshtein(s1: str, s2: str) -> int:
+    """Edit distance (reference material.py:76-113)."""
+    if len(s1) < len(s2):
+        s1, s2 = s2, s1
+    prev = list(range(len(s2) + 1))
+    for i, c1 in enumerate(s1, 1):
+        cur = [i]
+        for j, c2 in enumerate(s2, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (c1 != c2)))
+        prev = cur
+    return prev[-1]
+
+
+@lru_cache(maxsize=512)
+def find_material(name: str, reference: str | None = None,
+                  min_wavelength: float | None = None,
+                  max_wavelength: float | None = None) -> int:
+    """Return the catalog row id for a material name, using the reference's
+    search semantics (material.py:115-246). Raises ValueError when nothing
+    matches."""
+    nm = name.lower()
+    rows = _index()
+    keys = _search_keys()
+    cand = [i for i, k in enumerate(keys)
+            if nm in k[0] or nm in k[1] or nm in k[2]]
+    if reference:
+        ref = reference.lower()
+        cand = [i for i in cand
+                if ref in keys[i][0] or ref in keys[i][3]
+                or ref in keys[i][4] or ref in keys[i][1]
+                or ref in keys[i][5]]
+    if min_wavelength is not None:
+        cand = [i for i in cand
+                if rows[i]["min_wavelength"] <= min_wavelength
+                <= rows[i]["max_wavelength"]]
+    if max_wavelength is not None:
+        cand = [i for i in cand
+                if rows[i]["min_wavelength"] <= max_wavelength
+                <= rows[i]["max_wavelength"]]
+    if not cand:
+        raise ValueError(f"No matches found for material {name}"
+                         + (f" with reference {reference}" if reference
+                            else ""))
+    scores = np.array([min(_levenshtein(nm, keys[i][0]),
+                           _levenshtein(nm, keys[i][1]),
+                           _levenshtein(nm, keys[i][2])) for i in cand])
+    # pandas sort_values default is an unstable quicksort over the filtered
+    # frame; np.argsort(kind="quicksort") reproduces its permutation
+    order = np.argsort(scores, kind="quicksort")
+    return cand[int(order[0])]
+
+
+def _entry_to_material(rec: dict, row_id: int):
+    if "error" in rec:
+        raise ValueError(f"Material data file {rec['filename']} has no "
+                         f"refractive-index data ({rec['error']})")
+    tabs = _tables()
+    has_k = f"{row_id}_kv" in tabs
+    kw = tabs[f"{row_id}_kw"] if has_k else None
+    kv = tabs[f"{row_id}_kv"] if has_k else None
+    if "formula" in rec:
+        model = FormulaMaterial(rec["formula"], len(rec["coefficients"]),
+                                has_k_table=has_k,
+                                k_table_len=len(kv) if has_k else 0,
+                                has_thermal="thermal" in rec)
+        params = model.default_params(
+            coefficients=rec["coefficients"], k_wavelength=kw, k_values=kv,
+            t0_celsius=rec.get("t0"), thermal_dispersion=rec.get("thermal"))
+    else:
+        nw = tabs[f"{row_id}_nw"]
+        nv = tabs[f"{row_id}_nv"]
+        model = TabulatedMaterial(len(nv), has_k_table=has_k,
+                                  k_table_len=len(kv) if has_k else 0)
+        params = model.default_params(n_wavelength=nw, n_values=nv,
+                                      k_wavelength=kw, k_values=kv)
+    return model, params
+
+
+def material(name: str, reference: str | None = None,
+             min_wavelength: float | None = None,
+             max_wavelength: float | None = None):
+    """Return (MaterialModel, params) for a database material, resolved with
+    the reference's similarity search (reference materials/material.py)."""
+    row_id = find_material(name, reference, min_wavelength, max_wavelength)
+    return _entry_to_material(_index()[row_id], row_id)
 
 
 def glass(name: str, reference: str | None = None):
-    """Return (MaterialModel, params) for a catalog glass."""
-    e = _find_entry(name, reference)
-    has_k = "k_values" in e
-    if "formula" in e:
-        has_thermal = "thermal_dispersion" in e
-        model = FormulaMaterial(e["formula"], len(e["coefficients"]),
-                                has_k_table=has_k,
-                                k_table_len=len(e.get("k_values", [])),
-                                has_thermal=has_thermal)
-        params = model.default_params(
-            coefficients=e["coefficients"],
-            k_wavelength=e.get("k_wavelength"),
-            k_values=e.get("k_values"),
-            t0_celsius=e.get("t0_celsius"),
-            thermal_dispersion=e.get("thermal_dispersion"))
-    else:
-        model = TabulatedMaterial(len(e["n_values"]), has_k_table=has_k,
-                                  k_table_len=len(e.get("k_values", [])))
-        params = model.default_params(n_wavelength=e["n_wavelength"],
-                                      n_values=e["n_values"],
-                                      k_wavelength=e.get("k_wavelength"),
-                                      k_values=e.get("k_values"))
-    return model, params
+    """Return (MaterialModel, params) for a catalog glass (alias of
+    :func:`material`, kept for API stability)."""
+    return material(name, reference)
 
 
 def resolve_material(spec):

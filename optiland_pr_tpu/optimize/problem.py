@@ -119,6 +119,12 @@ class OptimizationProblem:
         self._merit_jit = None
         self._value_and_grad_jit = None
 
+    def rebuild(self):
+        """Re-derive (model, params) from the Optic after a structural edit
+        (e.g. a categorical material swap) and drop compiled merit caches."""
+        self.model, self.params = self.optic.build()
+        self._invalidate()
+
     # -- merit function ----------------------------------------------------
     def fun_array(self, params=None):
         params = self.params if params is None else params

@@ -114,6 +114,25 @@ def make_variable(model, variable_type: str, surface_number: int = None,
         v = Variable(sp + ("f",))
     elif t == "grating_period":
         v = Variable(sp + ("grating", "period"))
+    elif t == "grid_sag":
+        # one sag-grid point (reference variable/grid_sag.py exposes the whole
+        # grid; per-point scalars compose into the same DoF set)
+        idx = kw.get("point_index", kw.get("coeff_index"))
+        v = Variable(sp + ("geom", "sag_grid"),
+                     element=tuple(idx) if isinstance(idx, (tuple, list))
+                     else (idx,))
+    elif t in ("nurbs_ctrlpt", "nurbs_control_point"):
+        # reference variable/nurbs.py indexes P[i, j, k] with k the xyz axis;
+        # our control_points pytree leaf is stacked [3, n_u, n_v]
+        i, j, k = kw["coeff_index"]
+        v = Variable(sp + ("geom", "control_points"), element=(k, i, j))
+    elif t == "nurbs_weight":
+        i, j = kw["coeff_index"][:2]
+        v = Variable(sp + ("geom", "weights"), element=(i, j))
+    elif t == "material":
+        raise ValueError(
+            "categorical material variables are not pytree scalars; use "
+            "optimize.glass_expert.MaterialVariable with GlassExpert")
     elif t == "path":
         v = Variable(tuple(kw["path"]), element=kw.get("element"))
     else:

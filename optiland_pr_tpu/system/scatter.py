@@ -1,8 +1,17 @@
 """Surface scattering BSDFs (reference optiland/scatter.py:24-265).
 
-Monte-Carlo perturbation of outgoing ray directions. Needs explicit PRNG keys
-(JAX is functionally random); the trace threads a key through surfaces that
-carry a BSDF.
+The reference model perturbs the *specular* outgoing direction: express the
+ray in a local (a, b, n) frame anchored on the surface normal, add a random
+offset (uniform unit disk for Lambertian, 2-D Gaussian for Gaussian) to the
+tangential components, and rebuild the normal component so the result is a
+unit vector in the outgoing hemisphere; offsets that push the tangential
+magnitude past 1 are rejection-sampled (reference scatter.py:65-111).
+
+TPU design: the reference's per-ray ``while True`` rejection loop becomes a
+fixed bank of K candidate draws per ray + first-valid selection (static
+shapes, no host sync); the specular direction (zero offset, always valid) is
+the terminal fallback. Needs explicit PRNG keys (JAX functional randomness);
+the trace threads a key through surfaces that carry a BSDF.
 """
 from __future__ import annotations
 
@@ -13,21 +22,49 @@ from ..config import default_float
 
 __all__ = ["BSDFDef", "LambertianBSDF", "GaussianBSDF"]
 
+_K_CANDIDATES = 8
 
-def _orthonormal_basis(nx, ny, nz):
-    """Two tangent vectors orthogonal to the normal."""
-    # pick helper axis least aligned with n
-    hx = jnp.where(jnp.abs(nx) < 0.9, 1.0, 0.0)
-    hy = jnp.where(jnp.abs(nx) < 0.9, 0.0, 1.0)
-    tx = ny * 0.0 - nz * hy
-    ty = nz * hx - nx * 0.0
-    tz = nx * hy - ny * hx
-    mag = jnp.sqrt(tx**2 + ty**2 + tz**2)
-    tx, ty, tz = tx / mag, ty / mag, tz / mag
-    ux = ny * tz - nz * ty
-    uy = nz * tx - nx * tz
-    uz = nx * ty - ny * tx
-    return (tx, ty, tz), (ux, uy, uz)
+
+def _scatter_basis(L, nx, ny, nz):
+    """Local frame (a, b) tangent to the normal (reference scatter.py:86-97):
+    a = normalize(n x arb), b = n x a, with arb = x-hat when L < 0.999 else
+    y-hat (per-ray choice on the L direction cosine)."""
+    use_x = L < 0.999
+    # n x (1,0,0) = (0, nz, -ny);  n x (0,1,0) = (-nz, 0, nx)
+    ax = jnp.where(use_x, 0.0, -nz)
+    ay = jnp.where(use_x, nz, 0.0)
+    az = jnp.where(use_x, -ny, nx)
+    mag = jnp.sqrt(ax**2 + ay**2 + az**2)
+    ax, ay, az = ax / mag, ay / mag, az / mag
+    bx = ny * az - nz * ay
+    by = nz * ax - nx * az
+    bz = nx * ay - ny * ax
+    return (ax, ay, az), (bx, by, bz)
+
+
+def _apply_offsets(rays, nx, ny, nz, off_x, off_y):
+    """Combine K candidate tangential offsets [K, n] with the specular
+    direction; return the first candidate whose radicand is >= 0, falling
+    back to the (always-valid) zero offset."""
+    (ax, ay, az), (bx, by, bz) = _scatter_basis(rays.L, nx, ny, nz)
+    ra = rays.L * ax + rays.M * ay + rays.N * az
+    rb = rays.L * bx + rays.M * by + rays.N * bz
+    # append the zero-offset fallback as candidate K
+    zeros = jnp.zeros_like(off_x[:1])
+    off_x = jnp.concatenate([off_x, zeros])
+    off_y = jnp.concatenate([off_y, zeros])
+    sx = ra[None, :] + off_x
+    sy = rb[None, :] + off_y
+    radicand = 1.0 - sx**2 - sy**2
+    ok = radicand >= 0
+    first = jnp.argmax(ok, axis=0)                      # first valid per ray
+    idx = (first, jnp.arange(sx.shape[1]))
+    sx1, sy1 = sx[idx], sy[idx]
+    sz1 = jnp.sqrt(jnp.maximum(1.0 - sx1**2 - sy1**2, 0.0))
+    L = sx1 * ax + sy1 * bx + sz1 * nx
+    M = sx1 * ay + sy1 * by + sz1 * ny
+    N = sx1 * az + sy1 * bz + sz1 * nz
+    return rays.replace(L=L, M=M, N=N)
 
 
 class BSDFDef:
@@ -41,35 +78,25 @@ class BSDFDef:
 
 
 class LambertianBSDF(BSDFDef):
-    """Cosine-weighted hemisphere scatter about the surface normal
-    (reference scatter.py LambertianBSDF)."""
+    """Uniform-unit-disk tangential offset of the specular direction
+    (reference scatter.py:23-35 get_point_lambertian)."""
 
     kind = "lambertian"
 
     def scatter(self, p, rays, nx, ny, nz, key):
         n = rays.x.shape[-1]
         k1, k2 = jax.random.split(key)
-        u1 = jax.random.uniform(k1, (n,), rays.x.dtype)
-        u2 = jax.random.uniform(k2, (n,), rays.x.dtype)
+        u1 = jax.random.uniform(k1, (_K_CANDIDATES, n), rays.x.dtype)
+        u2 = jax.random.uniform(k2, (_K_CANDIDATES, n), rays.x.dtype)
         r = jnp.sqrt(u1)
         theta = 2 * jnp.pi * u2
-        # align the hemisphere with the outgoing side (normal flipped along
-        # the current propagation direction)
-        sgn = jnp.sign(rays.L * nx + rays.M * ny + rays.N * nz)
-        nxs, nys, nzs = nx * sgn, ny * sgn, nz * sgn
-        (tx, ty, tz), (ux, uy, uz) = _orthonormal_basis(nxs, nys, nzs)
-        a = r * jnp.cos(theta)
-        b = r * jnp.sin(theta)
-        c = jnp.sqrt(jnp.maximum(1.0 - u1, 0.0))
-        L = a * tx + b * ux + c * nxs
-        M = a * ty + b * uy + c * nys
-        N = a * tz + b * uz + c * nzs
-        return rays.replace(L=L, M=M, N=N)
+        return _apply_offsets(rays, nx, ny, nz, r * jnp.cos(theta),
+                              r * jnp.sin(theta))
 
 
 class GaussianBSDF(BSDFDef):
-    """Gaussian perturbation of the specular direction
-    (reference scatter.py GaussianBSDF)."""
+    """2-D Gaussian tangential offset of the specular direction
+    (reference scatter.py:37-53 get_point_gaussian)."""
 
     kind = "gaussian"
 
@@ -83,12 +110,6 @@ class GaussianBSDF(BSDFDef):
         n = rays.x.shape[-1]
         k1, k2 = jax.random.split(key)
         sigma = p["sigma"]
-        d1 = sigma * jax.random.normal(k1, (n,), rays.x.dtype)
-        d2 = sigma * jax.random.normal(k2, (n,), rays.x.dtype)
-        (tx, ty, tz), (ux, uy, uz) = _orthonormal_basis(rays.L, rays.M,
-                                                        rays.N)
-        L = rays.L + d1 * tx + d2 * ux
-        M = rays.M + d1 * ty + d2 * uy
-        N = rays.N + d1 * tz + d2 * uz
-        mag = jnp.sqrt(L**2 + M**2 + N**2)
-        return rays.replace(L=L / mag, M=M / mag, N=N / mag)
+        dx = sigma * jax.random.normal(k1, (_K_CANDIDATES, n), rays.x.dtype)
+        dy = sigma * jax.random.normal(k2, (_K_CANDIDATES, n), rays.x.dtype)
+        return _apply_offsets(rays, nx, ny, nz, dx, dy)
