@@ -106,3 +106,110 @@ def test_sharded_gradient(mesh):
     Pys = jax.device_put(Py, sh)
     g_sharded = float(grad_fn(r0, Pxs, Pys))
     np.testing.assert_allclose(g_sharded, g_plain, rtol=1e-10)
+
+
+def test_shard_map_rms_matches_gspmd(mesh):
+    """Explicit-collective (shard_map + psum) path equals the GSPMD path."""
+    from optiland_pr_tpu.parallel import shard_map_spot_rms
+
+    model, params = CookeTriplet().build()
+    n = 8 * 128
+    Px, Py = _pupil(n)
+    zeros = jnp.zeros_like(Px)
+    run_sm = shard_map_spot_rms(model, mesh, 0.55)
+    rms_sm = float(run_sm(params, zeros, zeros, Px, Py))
+    run_gspmd = sharded_spot_rms(model, params, mesh, 0.55)
+    rms_gspmd = float(run_gspmd(params, zeros, zeros, Px, Py))
+    np.testing.assert_allclose(rms_sm, rms_gspmd, rtol=1e-12)
+
+
+def test_shard_map_merit_grad(mesh):
+    """Explicit-collective gradient equals the unsharded value_and_grad."""
+    from optiland_pr_tpu.parallel import shard_map_merit_grad
+    from optiland_pr_tpu.trace.raygen import generate_rays
+
+    model, params = CookeTriplet().build()
+    n = 8 * 64
+    Px, Py = _pupil(n)
+    zeros = jnp.zeros_like(Px)
+    run = shard_map_merit_grad(model, mesh, 0.55)
+    v, g = run(params, zeros, zeros, Px, Py)
+
+    def merit(params):
+        rays = generate_rays(model, params, zeros, zeros, Px, Py, 0.55)
+        rays, _ = real_trace.trace_system(model, params, rays)
+        rays = real_trace._final_image_propagation(model, params, rays)
+        cx = jnp.mean(rays.x)
+        cy = jnp.mean(rays.y)
+        return jnp.mean((rays.x - cx) ** 2 + (rays.y - cy) ** 2)
+
+    v_ref, g_ref = jax.value_and_grad(merit)(params)
+    np.testing.assert_allclose(float(v), float(v_ref), rtol=1e-11)
+    g_leaf = g["surfaces"][1]["geom"]["radius"]
+    g_ref_leaf = g_ref["surfaces"][1]["geom"]["radius"]
+    np.testing.assert_allclose(np.asarray(g_leaf), np.asarray(g_ref_leaf),
+                               rtol=1e-9)
+
+
+def test_sharded_value_and_grad_applies_shardings(mesh):
+    from optiland_pr_tpu.parallel import sharded_value_and_grad
+    from optiland_pr_tpu.trace.raygen import generate_rays
+
+    model, params = CookeTriplet().build()
+    n = 8 * 64
+    Px, Py = _pupil(n)
+    zeros = jnp.zeros_like(Px)
+
+    def merit(params, Px, Py):
+        rays = generate_rays(model, params, zeros, zeros, Px, Py, 0.55)
+        rays, _ = real_trace.trace_system(model, params, rays)
+        return jnp.mean(rays.x**2 + rays.y**2)
+
+    run = sharded_value_and_grad(merit, mesh, ray_argnums=(1, 2))
+    v, g = run(params, Px, Py)
+    v_ref, g_ref = jax.value_and_grad(merit)(params, Px, Py)
+    np.testing.assert_allclose(float(v), float(v_ref), rtol=1e-12)
+    np.testing.assert_allclose(
+        np.asarray(g["surfaces"][1]["geom"]["radius"]),
+        np.asarray(g_ref["surfaces"][1]["geom"]["radius"]), rtol=1e-10)
+    # value comes back replicated over the mesh
+    assert len(v.sharding.device_set) == 8
+
+
+def test_microbatched_trace_matches_plain():
+    from optiland_pr_tpu.parallel import microbatched_trace, microbatch
+
+    model, params = CookeTriplet().build()
+    n = 512
+    Px, Py = _pupil(n)
+    zeros = jnp.zeros_like(Px)
+    run = microbatched_trace(model, params, num_microbatches=8)
+    rays_mb = run(params, zeros, zeros, Px, Py, 0.55)
+    rays_ref = real_trace.trace_generic(model, params, zeros, zeros, Px, Py,
+                                        0.55)
+    # lax.map changes op fusion/reduction order -> ~1e-14 absolute noise
+    np.testing.assert_allclose(np.asarray(rays_mb.x), np.asarray(rays_ref.x),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(rays_mb.opd),
+                               np.asarray(rays_ref.opd), rtol=1e-12,
+                               atol=1e-12)
+
+    # sum-reduce mode: histogram-style accumulation
+    def weight_sum(Px, Py):
+        return jnp.sum(Px**2 + Py**2)
+
+    total_mb = float(microbatch(weight_sum, 8, reduce="sum")(Px, Py))
+    np.testing.assert_allclose(total_mb, float(weight_sum(Px, Py)),
+                               rtol=1e-12)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        jax.jit(microbatch(weight_sum, 7))(Px, Py)
+
+
+def test_init_distributed_single_process_is_graceful():
+    from optiland_pr_tpu.parallel import init_distributed
+    ok, err = init_distributed()
+    # single-process CPU env: must not raise, must report failure reason
+    assert ok in (True, False)
+    if not ok:
+        assert isinstance(err, str) and err
