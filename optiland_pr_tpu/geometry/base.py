@@ -33,16 +33,32 @@ def normalize_normal(dfdx, dfdy):
 def conic_distance(radius, conic, x, y, z, L, M, N):
     """Closed-form ray/conic intersection, root closest to the vertex plane
     (reference optiland/geometries/standard.py:89-140). Handles infinite radius
-    (plane) and the degenerate a==0 case branchlessly."""
+    (plane) and the degenerate a==0 case branchlessly.
+
+    Algebraically identical to the reference quadratic but conditioned for
+    low precision (the reference form loses ~4 digits in f32 at telescope
+    scales, e.g. Hubble's 5e3-mm gaps):
+    1. the ray is pre-advanced to the vertex plane so the coefficients are
+       sag-scale rather than z^2-scale;
+    2. the two roots are paired citardauq-style (near root = c/q with
+       q = -(b/2 + sign(b/2)*sqrt(disc))), stable when a -> 0 — a
+       near-parabolic mirror (conic ~ -1) makes the quadratic degenerate."""
     is_plane = jnp.isinf(radius)
     R = jnp.where(is_plane, 1.0, radius)  # guard against inf*0 NaNs
 
-    a = conic * N**2 + L**2 + M**2 + N**2
-    b = (2 * conic * N * z + 2 * L * x + 2 * M * y
-         - 2 * N * R + 2 * N * z)
-    c = conic * z**2 - 2 * R * z + x**2 + y**2 + z**2
+    # pre-advance to the vertex plane; rays near-perpendicular to the axis
+    # (|N| ~ 0) skip the shift — the general coefficients below stay correct
+    # either way, the shift is purely a conditioning move
+    t0 = jnp.where(jnp.abs(N) > 1e-8, safe_div(-z, N), 0.0)
+    x0 = x + t0 * L
+    y0 = y + t0 * M
+    z0 = z + t0 * N                       # == 0 unless the shift was skipped
 
-    d = b**2 - 4 * a * c
+    a = conic * N**2 + L**2 + M**2 + N**2
+    bh = conic * N * z0 + L * x0 + M * y0 + N * z0 - N * R   # half-b
+    c = conic * z0**2 - 2 * R * z0 + x0**2 + y0**2 + z0**2
+
+    d = bh**2 - a * c
     ok = d >= 0
     # Double-where pattern: (1) sqrt's argument is substituted where invalid
     # so its gradient stays finite (sqrt(max(d,0)) would give inf at the clamp
@@ -50,21 +66,21 @@ def conic_distance(radius, conic, x, y, z, L, M, N):
     # output so no discarded branch ever carries NaN into arithmetic.
     sqrt_d = jnp.sqrt(jnp.where(ok, d, 1.0))
 
-    a_safe = safe_div(jnp.ones_like(a), a)  # 1/a with clamp
-    t1 = (-b + sqrt_d) * 0.5 * a_safe
-    t2 = (-b - sqrt_d) * 0.5 * a_safe
+    # sign-of-bh pairing, with sign(0) := 1 (jnp.sign(0)=0 would zero q)
+    q = -(bh + jnp.where(bh >= 0, 1.0, -1.0) * sqrt_d)
+    t_far = safe_div(q, a)                # +-inf-safe when a ~ 0
+    t_near = safe_div(c, q)
 
-    z1 = z + t1 * N
-    z2 = z + t2 * N
-    t = jnp.where(jnp.abs(z1) <= jnp.abs(z2), t1, t2)
+    # root closest to the vertex plane (z0 == 0 unless the shift was skipped)
+    tq = jnp.where(jnp.abs(z0 + t_near * N) <= jnp.abs(z0 + t_far * N),
+                   t_near, t_far)
 
-    # degenerate quadratic (a == 0): linear solution -c/b
-    t = jnp.where(a == 0, safe_div(-c, b), t)
-    t = jnp.where(ok, t, jnp.nan)  # ray misses the conic entirely
+    # degenerate quadratic (a == 0): linear solution c/(-2*bh) == t_near
+    tq = jnp.where(a == 0, t_near, tq)
+    t = t0 + jnp.where(ok, tq, jnp.nan)   # NaN: ray misses the conic entirely
 
     # plane: z + t*N = 0
-    t_plane = safe_div(-z, N)
-    return jnp.where(is_plane, t_plane, t)
+    return jnp.where(is_plane, t0, t)
 
 
 def newton_distance(geom: "Geometry", p, x, y, z, L, M, N,

@@ -1,4 +1,4 @@
-"""Fused Pallas trace kernel for conic surface stacks.
+"""Fused Pallas trace kernel for conic/asphere surface stacks.
 
 The XLA path executes the unrolled surface chain as fused elementwise ops, but
 intermediate ray state still round-trips HBM between fusion boundaries. This
@@ -6,16 +6,29 @@ kernel keeps the ENTIRE surface stack's ray state in VMEM: the grid tiles the
 ray axis; each tile loads launch state once, loops over all surfaces in
 registers/VMEM, and writes final state once (SURVEY.md §7 stage 7).
 
-Scope: homogeneous conic + even-asphere stacks (refract/reflect) with
-per-surface scalar refractive indices — single-wavelength traces of systems
-like the Cooke triplet / double Gauss / aspheric-singlet benchmarks. Aspheres
-intersect in-kernel: conic warm start + _NEWTON_ITERS fixed Newton steps
-(value path only; gradients use the XLA trace with implicit-diff Newton).
-The general path (freeforms, gratings, polarization) stays on XLA.
+Scope (the fast-path contract, reference hot path
+surfaces/standard_surface.py:186-287):
+- conic / plane / even-asphere geometries, refract or reflect,
+- per-surface tilt/decenter (fold mirrors): localize/globalize with a packed
+  3x3 rotation, statically skipped for untitled surfaces,
+- radial / offset-radial apertures (e.g. Hubble's central obscuration):
+  intensity masking in the local frame, exactly like the XLA clip,
+- scalar (Simple) coatings: per-surface intensity factor,
+- absorption in the pre-material (Beer-Lambert),
+- polychromatic bundles: the grid gains a wavelength axis; each block is
+  monochromatic with its own per-surface index/absorption constants, so no
+  per-ray gathers ever happen.
+Aspheres intersect in-kernel: conic warm start + _NEWTON_ITERS fixed Newton
+steps (value path only; gradients use the XLA trace with implicit-diff
+Newton). The general path (freeforms, gratings, polarization, GRIN) stays on
+XLA.
 
-Surface constants are packed into a [S, 8] array: the kernel receives it whole
-in VMEM and reads scalars per (statically unrolled) surface:
-  [radius_inv, conic, pos_z, n1, n2, is_plane, is_reflective, alpha_abs]
+Surface constants are packed into a [S, 32] array (or [W, S, 32] for W
+wavelengths); the kernel receives it whole in VMEM and reads scalars per
+(statically unrolled) surface:
+  0 radius_inv  1 conic  2 pos_z  3 n1  4 n2  5 alpha_abs  6 coat_factor
+  8..16 rotation row-major r00..r22   17 tx  18 ty  19 tz
+  20 ap_rmin2  21 ap_rmax2  22 ap_ox  23 ap_oy          (rest padding)
 """
 from __future__ import annotations
 
@@ -33,28 +46,41 @@ __all__ = ["pack_surface_constants", "pack_asphere_coeffs",
 
 _EPS = 1e-14
 
+_CONST_W = 32  # per-surface constant row width (lane-friendly)
 
 _NEWTON_ITERS = 8  # fixed in-kernel Newton refinements for aspheres
 
 
 def supports_model(model: OpticModel) -> bool:
-    """True if every inner surface is a conic or even-asphere refract/reflect
-    surface without apertures/coatings/BSDFs (the fast-path contract)."""
+    """True if every inner surface is a conic/plane/even-asphere
+    refract/reflect surface whose extras the kernel can fuse: tilt/decenter,
+    radial or offset-radial apertures, scalar (simple) coatings. BSDFs,
+    polarization-dependent coatings, GRIN media and non-refractive
+    interactions stay on the XLA path."""
     for spec in model.surfaces[1:]:
         if spec.geometry.kind not in ("standard", "plane", "even_asphere"):
             return False
         if spec.interaction != "refract_reflect":
             return False
-        if spec.aperture is not None or spec.coating is not None \
-                or spec.bsdf is not None:
+        if spec.bsdf is not None:
+            return False
+        if spec.aperture is not None and spec.aperture.kind not in (
+                "radial", "offset_radial"):
+            return False
+        if spec.coating is not None and spec.coating.kind != "simple":
+            return False
+    for spec in model.surfaces:
+        if getattr(spec.material, "is_grin", False):
             return False
     return model.polarization == "ignore"
 
 
-def pack_surface_constants(model: OpticModel, params, wavelength) -> jnp.ndarray:
-    """[S, 8] per-surface scalars for the kernel (positions, curvature, conic,
-    indices, absorption)."""
+def _pack_rows(model: OpticModel, params, wavelength) -> jnp.ndarray:
+    """[S-1, 32] per-surface scalars for one (traced) wavelength."""
+    from ..core.transforms import rotation_matrix
+
     pos = positions_from_params(params)
+    wl = jnp.asarray(wavelength)
     rows = []
     S = model.num_surfaces
     for k in range(1, S):
@@ -68,25 +94,65 @@ def pack_surface_constants(model: OpticModel, params, wavelength) -> jnp.ndarray
         pre = model.surfaces[k - 1]
         mat1 = model.surfaces[pre.material_src].material
         mp1 = params["surfaces"][pre.material_src]["material"]
-        n1 = mat1.n(mp1, jnp.asarray(wavelength))
+        n1 = mat1.n(mp1, wl)
         if spec.is_reflective:
             n2 = n1
         else:
             mat2 = model.surfaces[spec.material_src].material
             mp2 = params["surfaces"][spec.material_src]["material"]
-            n2 = mat2.n(mp2, jnp.asarray(wavelength))
+            n2 = mat2.n(mp2, wl)
         alpha = jnp.asarray(0.0)
         if mat1.absorbing:
-            kext = mat1.k(mp1, jnp.asarray(wavelength))
-            alpha = 4.0 * jnp.pi * kext / jnp.asarray(wavelength)
-        rows.append(jnp.stack([
+            kext = mat1.k(mp1, wl)
+            alpha = 4.0 * jnp.pi * kext / wl
+
+        coat = jnp.asarray(1.0)
+        if spec.coating is not None and spec.coating.kind == "simple":
+            coat = spec.coating.intensity_factor(sp.get("coating", {}),
+                                                 spec.is_reflective)
+
+        zeros3 = jnp.zeros(3)
+        if spec.has_tilt_decenter:
+            cs = sp["cs"]
+            Rm = rotation_matrix(cs["rx"], cs["ry"], cs["rz"]).reshape(-1)
+            tvec = jnp.stack([cs["dx"], cs["dy"], pos[k] + cs["dz"]])
+        else:
+            Rm = jnp.zeros(9)
+            tvec = zeros3
+
+        if spec.aperture is not None:
+            ap = sp["aperture"]
+            rmin2 = ap["r_min"] ** 2
+            rmax2 = ap["r_max"] ** 2
+            aox = ap.get("offset_x", jnp.asarray(0.0))
+            aoy = ap.get("offset_y", jnp.asarray(0.0))
+        else:
+            rmin2 = jnp.asarray(0.0)
+            rmax2 = jnp.asarray(jnp.inf)
+            aox = aoy = jnp.asarray(0.0)
+
+        head = jnp.stack([
             jnp.reshape(radius_inv, ()), jnp.reshape(conic, ()),
             jnp.reshape(pos[k], ()), jnp.reshape(n1, ()),
-            jnp.reshape(n2, ()), jnp.reshape(is_plane.astype(radius.dtype), ()),
-            jnp.asarray(1.0 if spec.is_reflective else 0.0, radius.dtype),
-            jnp.reshape(alpha, ()),
-        ]))
+            jnp.reshape(n2, ()), jnp.reshape(alpha, ()),
+            jnp.reshape(coat, ()), jnp.zeros(()),
+        ])
+        apr = jnp.stack([jnp.reshape(rmin2, ()), jnp.reshape(rmax2, ()),
+                         jnp.reshape(aox, ()), jnp.reshape(aoy, ())])
+        row = jnp.concatenate([head, Rm, tvec, apr,
+                               jnp.zeros(_CONST_W - 24)])
+        rows.append(row)
     return jnp.stack(rows).astype(jnp.float32)
+
+
+def pack_surface_constants(model: OpticModel, params, wavelength) -> jnp.ndarray:
+    """[S-1, 32] per-surface scalars for a scalar wavelength, or
+    [W, S-1, 32] for a 1-D array of W wavelengths (one constant set per
+    wavelength — the polychromatic grid axis)."""
+    wl = jnp.asarray(wavelength)
+    if wl.ndim == 0:
+        return _pack_rows(model, params, wl)
+    return jax.vmap(lambda w: _pack_rows(model, params, w))(wl)
 
 
 def pack_asphere_coeffs(model: OpticModel, params) -> jnp.ndarray:
@@ -135,11 +201,13 @@ def _asphere_sag_grad(radius_inv, conic, acoef, n_terms: int, xx, yy):
 
 def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
                   is_refl: bool, absorbing: bool, acoef=None,
-                  n_terms: int = 0):
-    """One conic surface interaction; all elementwise VPU ops.
+                  n_terms: int = 0, has_cs: bool = False,
+                  has_ap: bool = False, has_coat: bool = False):
+    """One surface interaction; all elementwise VPU ops.
 
-    is_plane/is_refl/absorbing are STATIC (baked from the model at build):
-    the unrolled loop emits only the ops each surface actually needs.
+    is_plane/is_refl/absorbing/has_cs/has_ap/has_coat are STATIC (baked from
+    the model at build): the unrolled loop emits only the ops each surface
+    actually needs.
 
     Op-count notes (this kernel is VPU-compute-bound, not HBM-bound):
     - reflection R = d - 2(d.n)n is invariant under n -> -n, so the
@@ -150,29 +218,56 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
     - the quadratic uses the half-b form (disc/4), saving the 2x/4x scales;
     - normals use one rsqrt instead of sqrt + guarded reciprocal.
     """
-    radius_inv, conic, pos_z, n1, n2, _, _, alpha = (
-        c[0], c[1], c[2], c[3], c[4], c[5], c[6], c[7])
+    radius_inv, conic, pos_z, n1, n2, alpha, coat = (
+        c[0], c[1], c[2], c[3], c[4], c[5], c[6])
 
-    z = z - pos_z
+    # ---- localize (core/transforms.py: v_local = R^T (v - t)) -------------
+    if has_cs:
+        r00, r01, r02 = c[8], c[9], c[10]
+        r10, r11, r12 = c[11], c[12], c[13]
+        r20, r21, r22 = c[14], c[15], c[16]
+        tx, ty, tz = c[17], c[18], c[19]
+        dx0 = x - tx
+        dy0 = y - ty
+        dz0 = z - tz
+        x = r00 * dx0 + r10 * dy0 + r20 * dz0
+        y = r01 * dx0 + r11 * dy0 + r21 * dz0
+        z = r02 * dx0 + r12 * dy0 + r22 * dz0
+        Ln = r00 * L + r10 * M + r20 * N
+        Mn = r01 * L + r11 * M + r21 * N
+        Nn = r02 * L + r12 * M + r22 * N
+        L, M, N = Ln, Mn, Nn
+    else:
+        z = z - pos_z
 
-    # ---- intersection (reference geometries/standard.py:89-140, with the
-    # curvature form: multiply through by radius_inv to avoid inf radius) ----
+    # ---- intersection (reference geometries/standard.py:89-140, curvature
+    # form). Two f32 conditioning fixes over the naive quadratic, both exact
+    # algebraically (tests pin parity vs the XLA path on telescope scales):
+    # 1. pre-shift the ray to the vertex plane (z=0) so the coefficients are
+    #    sag-scale, not z^2-scale (Hubble: z~5e3 mm would lose ~4 digits);
+    # 2. citardauq pairing: the near root is cc/q with q = -(bh + sign(bh)sq),
+    #    stable when a -> 0 (near-parabolic mirrors make the quadratic
+    #    degenerate: a = (k N^2 + 1)/R ~ 0 when k ~ -1). ----------------------
     if is_plane:
         t = -z / N
     else:
+        t0 = -z / N
+        x0 = x + t0 * L
+        y0 = y + t0 * M
         a = (conic * N * N + 1.0) * radius_inv
-        bh = (conic * N * z + L * x + M * y + N * z) * radius_inv - N
-        cc = (conic * z * z + x * x + y * y + z * z) * radius_inv - 2.0 * z
+        bh = (L * x0 + M * y0) * radius_inv - N
+        cc = (x0 * x0 + y0 * y0) * radius_inv
         disc = bh * bh - a * cc
         ok = disc >= 0
         sq = jnp.sqrt(jnp.where(ok, disc, 1.0))
-        inv_a = 1.0 / jnp.where(jnp.abs(a) > _EPS, a, _EPS)
-        t1 = (sq - bh) * inv_a
-        t2 = (-sq - bh) * inv_a
-        z1 = z + t1 * N
-        z2 = z + t2 * N
-        t = jnp.where(jnp.abs(z1) <= jnp.abs(z2), t1, t2)
-        t = jnp.where(ok, t, jnp.nan)
+        # sign(0) := 1 (jnp.sign(0)=0 would zero q)
+        q = -(bh + jnp.where(bh >= 0, 1.0, -1.0) * sq)
+        t_far = q / jnp.where(jnp.abs(a) > _EPS,
+                              a, jnp.where(a >= 0, _EPS, -_EPS))
+        t_near = cc / jnp.where(jnp.abs(q) > _EPS,
+                                q, jnp.where(q >= 0, _EPS, -_EPS))
+        tq = jnp.where(jnp.abs(t_near) <= jnp.abs(t_far), t_near, t_far)
+        t = t0 + jnp.where(ok, tq, jnp.nan)
 
     if n_terms > 0:
         # ---- even asphere: conic warm start + fixed Newton refinement
@@ -196,6 +291,15 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
     opd = opd + jnp.abs(t * n1)
     if absorbing:
         inten = inten * jnp.exp(-alpha * t * 1e3)
+
+    # ---- physical aperture (local frame, intensity masking like the XLA
+    # R.clip path; system/apertures.py RadialAperture/OffsetRadialAperture) --
+    if has_ap:
+        xa = x - c[22]
+        ya = y - c[23]
+        r2a = xa * xa + ya * ya
+        inside = (r2a >= c[20]) & (r2a <= c[21])
+        inten = inten * inside.astype(inten.dtype)
 
     if n_terms > 0:
         # ---- asphere normal + refract/reflect -----------------------------
@@ -263,8 +367,30 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
             M = u * M + ny * w
             N = u * N + nz * w
 
-    z = z + pos_z
+    # ---- scalar coating intensity factor (system/coatings.py SimpleCoating,
+    # applied post-interaction like trace/real.py:121-126) ------------------
+    if has_coat:
+        inten = inten * coat
+
+    # ---- globalize ---------------------------------------------------------
+    if has_cs:
+        xg = r00 * x + r01 * y + r02 * z + tx
+        yg = r10 * x + r11 * y + r12 * z + ty
+        zg = r20 * x + r21 * y + r22 * z + tz
+        Lg = r00 * L + r01 * M + r02 * N
+        Mg = r10 * L + r11 * M + r12 * N
+        Ng = r20 * L + r21 * M + r22 * N
+        x, y, z, L, M, N = xg, yg, zg, Lg, Mg, Ng
+    else:
+        z = z + pos_z
     return x, y, z, L, M, N, inten, opd
+
+
+def _step_kwargs(flag):
+    is_plane, is_refl, absorbing, n_terms, has_cs, has_ap, has_coat = flag
+    return dict(is_plane=is_plane, is_refl=is_refl, absorbing=absorbing,
+                n_terms=n_terms, has_cs=has_cs, has_ap=has_ap,
+                has_coat=has_coat)
 
 
 def _kernel(consts_ref, acoef_ref, x_ref, y_ref, z_ref, l_ref, m_ref, n_ref,
@@ -277,12 +403,11 @@ def _kernel(consts_ref, acoef_ref, x_ref, y_ref, z_ref, l_ref, m_ref, n_ref,
     N = n_ref[:]
     inten = i_ref[:]
     opd = o_ref[:]
-    for k, (is_plane, is_refl, absorbing, n_terms) in enumerate(flags):
+    for k, flag in enumerate(flags):
         c = consts_ref[k, :]
         a = acoef_ref[k, :]
         x, y, z, L, M, N, inten, opd = _surface_step(
-            c, x, y, z, L, M, N, inten, opd, is_plane=is_plane,
-            is_refl=is_refl, absorbing=absorbing, acoef=a, n_terms=n_terms)
+            c, x, y, z, L, M, N, inten, opd, acoef=a, **_step_kwargs(flag))
     xo[:] = x
     yo[:] = y
     zo[:] = z
@@ -294,9 +419,9 @@ def _kernel(consts_ref, acoef_ref, x_ref, y_ref, z_ref, l_ref, m_ref, n_ref,
 
 
 def model_flags(model: OpticModel, params) -> tuple:
-    """Static per-surface (is_plane, is_reflective, absorbing, n_terms)
-    flags (n_terms > 0 selects the in-kernel asphere Newton path)."""
-    import numpy as np
+    """Static per-surface specialization flags:
+    (is_plane, is_reflective, absorbing, n_terms, has_cs, has_ap, has_coat)
+    (n_terms > 0 selects the in-kernel asphere Newton path)."""
     flags = []
     for k in range(1, model.num_surfaces):
         spec = model.surfaces[k]
@@ -307,13 +432,16 @@ def model_flags(model: OpticModel, params) -> tuple:
         absorbing = model.surfaces[pre.material_src].material.absorbing
         n_terms = (spec.geometry.num_terms
                    if spec.geometry.kind == "even_asphere" else 0)
-        flags.append((is_plane, spec.is_reflective, absorbing, n_terms))
+        flags.append((is_plane, spec.is_reflective, absorbing, n_terms,
+                      spec.has_tilt_decenter, spec.aperture is not None,
+                      spec.coating is not None))
     return tuple(flags)
 
 
-@functools.partial(jax.jit, static_argnames=("flags", "block_rows"))
+@functools.partial(jax.jit,
+                   static_argnames=("flags", "block_rows", "interpret"))
 def _pallas_call_2d(consts, acoef, x, y, z, L, M, N, inten, opd,
-                    flags: tuple, block_rows: int):
+                    flags: tuple, block_rows: int, interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -321,7 +449,7 @@ def _pallas_call_2d(consts, acoef, x, y, z, L, M, N, inten, opd,
     grid = (rows // block_rows,)
     ray_spec = pl.BlockSpec((block_rows, lanes), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
-    const_spec = pl.BlockSpec((len(flags), 8), lambda i: (0, 0),
+    const_spec = pl.BlockSpec((len(flags), _CONST_W), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
     acoef_spec = pl.BlockSpec(acoef.shape, lambda i: (0, 0),
                               memory_space=pltpu.VMEM)
@@ -333,6 +461,7 @@ def _pallas_call_2d(consts, acoef, x, y, z, L, M, N, inten, opd,
         in_specs=[const_spec, acoef_spec] + [ray_spec] * 8,
         out_specs=[ray_spec] * 8,
         out_shape=out_shape,
+        interpret=interpret,
     )(consts, acoef, x, y, z, L, M, N, inten, opd)
 
 
@@ -346,6 +475,9 @@ def _gen_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
     With ``final_prop``, the post-image-surface propagation by the image
     thickness (raytrace/real_ray_tracer.py:85-92) is fused in as well, so the
     whole reference trace() pipeline is one kernel.
+
+    consts_ref block is [1, S, 32]: the leading grid axis is the wavelength —
+    each block is monochromatic with its own per-surface constants.
     """
     Px = px_ref[:]
     Py = py_ref[:]
@@ -371,73 +503,90 @@ def _gen_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
     inten = jnp.ones_like(Px)
     opd = jnp.zeros_like(Px)
 
-    for k, (is_plane, is_refl, absorbing, n_terms) in enumerate(flags):
-        c = consts_ref[k, :]
+    for k, flag in enumerate(flags):
+        c = consts_ref[0, k, :]
         a = acoef_ref[k, :]
         x, y, z, L, M, N, inten, opd = _surface_step(
-            c, x, y, z, L, M, N, inten, opd, is_plane=is_plane,
-            is_refl=is_refl, absorbing=absorbing, acoef=a, n_terms=n_terms)
+            c, x, y, z, L, M, N, inten, opd, acoef=a, **_step_kwargs(flag))
     if final_prop:
         t_img = gen_ref[0, 6]
         x = x + t_img * L
         y = y + t_img * M
         z = z + t_img * N
-    xo[:] = x
-    yo[:] = y
-    zo[:] = z
-    lo[:] = L
-    mo[:] = M
-    no[:] = N
-    io[:] = inten
-    oo[:] = opd
+    xo[0, :, :] = x
+    yo[0, :, :] = y
+    zo[0, :, :] = z
+    lo[0, :, :] = L
+    mo[0, :, :] = M
+    no[0, :, :] = N
+    io[0, :, :] = inten
+    oo[0, :, :] = opd
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("flags", "block_rows", "final_prop"))
+@functools.partial(jax.jit, static_argnames=("flags", "block_rows",
+                                             "final_prop", "interpret"))
 def _pallas_gen_trace_2d(gen, consts, acoef, Px, Py, flags: tuple,
-                         block_rows: int, final_prop: bool = False):
+                         block_rows: int, final_prop: bool = False,
+                         interpret: bool = False):
+    """Grid is (W, ray blocks): axis 0 selects the per-wavelength constant
+    set; every block reuses the same pupil samples (the reference traces the
+    same pupil distribution per wavelength)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    W = consts.shape[0]
+    S = len(flags)
     rows, lanes = Px.shape
-    grid = (rows // block_rows,)
-    ray_spec = pl.BlockSpec((block_rows, lanes), lambda i: (i, 0),
+    grid = (W, rows // block_rows)
+    ray_in_spec = pl.BlockSpec((block_rows, lanes), lambda w, i: (i, 0),
+                               memory_space=pltpu.VMEM)
+    ray_out_spec = pl.BlockSpec((1, block_rows, lanes),
+                                lambda w, i: (w, i, 0),
+                                memory_space=pltpu.VMEM)
+    gen_spec = pl.BlockSpec((1, 8), lambda w, i: (0, 0),
                             memory_space=pltpu.VMEM)
-    gen_spec = pl.BlockSpec((1, 8), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
-    const_spec = pl.BlockSpec((len(flags), 8), lambda i: (0, 0),
+    const_spec = pl.BlockSpec((1, S, _CONST_W), lambda w, i: (w, 0, 0),
                               memory_space=pltpu.VMEM)
-    acoef_spec = pl.BlockSpec(acoef.shape, lambda i: (0, 0),
+    acoef_spec = pl.BlockSpec(acoef.shape, lambda w, i: (0, 0),
                               memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct(Px.shape, Px.dtype)] * 8
+    out_shape = [jax.ShapeDtypeStruct((W, rows, lanes), Px.dtype)] * 8
     kernel = functools.partial(_gen_kernel, flags=flags,
                                final_prop=final_prop)
     return pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[gen_spec, const_spec, acoef_spec, ray_spec, ray_spec],
-        out_specs=[ray_spec] * 8,
+        in_specs=[gen_spec, const_spec, acoef_spec, ray_in_spec, ray_in_spec],
+        out_specs=[ray_out_spec] * 8,
         out_shape=out_shape,
+        interpret=interpret,
     )(gen, consts, acoef, Px, Py)
 
 
 def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
                            Hx: float = 0.0, Hy: float = 0.0,
                            block_rows: int = 128, flags: tuple | None = None,
-                           final_prop: bool = False):
+                           final_prop: bool = False,
+                           interpret: bool = False):
     """Fused generation + trace for infinite-object angle-field systems: the
     kernel's only array inputs are the normalized pupil samples (8 bytes/ray
     HBM read), everything else lives in VMEM. ``final_prop`` fuses the
-    image-thickness propagation too (the full reference trace() pipeline)."""
+    image-thickness propagation too (the full reference trace() pipeline).
+
+    ``wavelength``: a scalar traces one bundle of ``len(Px)`` rays; a 1-D
+    array of W wavelengths traces the same pupil samples at every wavelength
+    in one kernel launch (grid axis) and returns W*len(Px) rays ordered
+    wavelength-major.
+    """
     from ..trace.paraxial import Paraxial
-    from ..system.model import positions_from_params
     from ..core.rays import Rays
 
     assert supports_model(model)
     assert model.field_type == "angle" and model._object_infinite
     if flags is None:
         flags = model_flags(model, params)
-    consts = pack_surface_constants(model, params, wavelength)
+    wl = jnp.asarray(wavelength)
+    wls = jnp.atleast_1d(wl)
+    consts = pack_surface_constants(model, params, wls)  # [W, S-1, 32]
 
     par = Paraxial(model, params)
     pos = positions_from_params(params)
@@ -470,16 +619,25 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
     acoef = pack_asphere_coeffs(model, params)
     out = _pallas_gen_trace_2d(gen, consts, acoef, shape(Px), shape(Py),
                                flags=flags, block_rows=block_rows,
-                               final_prop=final_prop)
-    x, y, z, L, M, N, inten, opd = [o.reshape(-1)[:n] for o in out]
-    wl = jnp.full_like(x, jnp.asarray(wavelength, jnp.float32))
+                               final_prop=final_prop, interpret=interpret)
+    W = wls.shape[0]
+    x, y, z, L, M, N, inten, opd = [
+        o.reshape(W, -1)[:, :n] for o in out]
+    wl_col = jnp.broadcast_to(wls.astype(jnp.float32)[:, None], (W, n))
+    if wl.ndim == 0:
+        x, y, z, L, M, N, inten, opd, wl_col = [
+            v[0] for v in (x, y, z, L, M, N, inten, opd, wl_col)]
+    else:
+        x, y, z, L, M, N, inten, opd, wl_col = [
+            v.reshape(-1) for v in (x, y, z, L, M, N, inten, opd, wl_col)]
     return Rays(x=x, y=y, z=z, L=L, M=M, N=N, intensity=inten,
-                wavelength=wl, opd=opd, p=None)
+                wavelength=wl_col, opd=opd, p=None)
 
 
 def pallas_trace_conic(model: OpticModel, params, rays, wavelength,
-                       block_rows: int = 128, flags: tuple | None = None):
-    """Trace a ray bundle through an all-conic system with the fused kernel.
+                       block_rows: int = 128, flags: tuple | None = None,
+                       interpret: bool = False):
+    """Trace a ray bundle through a supported system with the fused kernel.
 
     Returns a Rays pytree with the final state (positions at the image
     surface, before the final image-thickness propagation).
@@ -507,7 +665,7 @@ def pallas_trace_conic(model: OpticModel, params, rays, wavelength,
                                rays.N, rays.intensity, rays.opd)]
     acoef = pack_asphere_coeffs(model, params)
     out = _pallas_call_2d(consts, acoef, *args, flags=flags,
-                          block_rows=block_rows)
+                          block_rows=block_rows, interpret=interpret)
     x, y, z, L, M, N, inten, opd = [o.reshape(-1)[:n] for o in out]
     return rays.replace(x=x, y=y, z=z, L=L, M=M, N=N, intensity=inten,
                         opd=opd)

@@ -275,36 +275,16 @@ def test_pallas_gen_trace_kernel_interpret_mode():
     ref, _ = real_trace.trace_system(model, params32, rays0, wl_scalar=0.55)
     ref = real_trace._final_image_propagation(model, params32, ref)
 
-    # assemble the same gen row / consts the TPU entry point builds, then run
-    # the kernel body through the interpreter
-    import optiland_pr_tpu.kernels.pallas_trace as pt
-    flags = pt.model_flags(model, params32)
-    consts = pt.pack_surface_constants(model, params32, 0.55)
-    acoef = pt.pack_asphere_coeffs(model, params32)
-    from optiland_pr_tpu.trace.paraxial import Paraxial
-    from optiland_pr_tpu.system.model import positions_from_params
-    par = Paraxial(model, params32)
-    pos = positions_from_params(params32)
-    EPL, EPD = par.EPL(), par.EPD()
-    offset = EPD - jnp.min(pos[1:-1])
-    t_img = jnp.reshape(params32["surfaces"][-1]["thickness"], ())
-    gen = jnp.stack([EPD / 2, EPD / 2, jnp.zeros(()), jnp.zeros(()),
-                     pos[1] - offset, EPL, t_img,
-                     jnp.zeros(())]).astype(jnp.float32).reshape(1, 8)
-
-    rows, lanes = 8, 128
-    kernel = functools.partial(ptmod._gen_kernel, flags=flags,
-                               final_prop=True)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=[jax.ShapeDtypeStruct((rows, lanes), jnp.float32)] * 8,
-        interpret=True,
-    )(gen, consts, acoef, Px.reshape(rows, lanes), Py.reshape(rows, lanes))
-    np.testing.assert_allclose(np.asarray(out[0].reshape(-1)),
+    # the REAL entry point (gen-row assembly + grid/BlockSpec pipeline),
+    # run through the Pallas interpreter
+    rays_k = ptmod.pallas_gen_trace_conic(model, params32, Px, Py, 0.55,
+                                          final_prop=True, block_rows=4,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(rays_k.x),
                                np.asarray(ref.x), rtol=2e-4, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(out[1].reshape(-1)),
+    np.testing.assert_allclose(np.asarray(rays_k.y),
                                np.asarray(ref.y), rtol=2e-4, atol=2e-4)
-    np.testing.assert_allclose(np.asarray(out[7].reshape(-1)),
+    np.testing.assert_allclose(np.asarray(rays_k.opd),
                                np.asarray(ref.opd), rtol=1e-4, atol=2e-3)
 
 
