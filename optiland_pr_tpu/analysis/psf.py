@@ -50,7 +50,135 @@ def fft_psf_from_pupil(pupils, grid_size: int):
     return psf / norm * 100.0
 
 
-class FFTPSF:
+class PSFViewMixin:
+    """Shared PSF visualization pipeline (reference psf/base.py:51-458):
+    threshold-zoomed peak-centred bounds, bicubic interpolation to
+    ``num_points``, physical-unit axes via the subclass ``_get_psf_units``
+    hook, 2d imshow (log-normalized option) or 3d surface projection, and
+    the original-size annotation."""
+
+    @staticmethod
+    def _find_bounds(psf, threshold=0.25):
+        """Peak-centred square bounding box of the above-threshold region
+        (reference psf/base.py:368-408)."""
+        nz = np.argwhere(np.asarray(psf) > threshold)
+        if nz.size:
+            min_x, min_y = nz.min(axis=0)
+            max_x, max_y = nz.max(axis=0)
+        else:
+            (min_x, min_y), (max_x, max_y) = (0, 0), psf.shape
+        size = max(max_x - min_x, max_y - min_y)
+        peak_x, peak_y = psf.shape[0] // 2, psf.shape[1] // 2
+        min_x = max(0, peak_x - size / 2)
+        max_x = min(psf.shape[0], peak_x + size / 2)
+        min_y = max(0, peak_y - size / 2)
+        max_y = min(psf.shape[1], peak_y + size / 2)
+        return int(min_x), int(min_y), int(max_x), int(max_y)
+
+    @staticmethod
+    def _interpolate_psf(image, n=128):
+        """Bicubic zoom to an n x n display grid (reference
+        psf/base.py:345-366)."""
+        image = np.asarray(image)
+        zoom_factor = n / image.shape[0]
+        if zoom_factor == 1:
+            return image
+        from scipy.ndimage import zoom
+        return zoom(image, zoom_factor, order=3)
+
+    @staticmethod
+    def _annotate_original_size(fig, original_size):
+        fig.text(0.99, 0.01,
+                 f"Original Size: {original_size[0]}×{original_size[1]}",
+                 transform=fig.transFigure, fontsize=10,
+                 verticalalignment="bottom", horizontalalignment="right",
+                 bbox=dict(facecolor="white", alpha=0.8, edgecolor="none"))
+
+    def view(self, fig_to_plot_on=None, projection: str = "2d",
+             log: bool = False, figsize: tuple = (7, 5.5),
+             threshold: float = 0.05, num_points: int = 128):
+        """Visualize the PSF (reference psf/base.py:99-209)."""
+        import warnings
+        import matplotlib.pyplot as plt
+
+        if getattr(self, "psf", None) is None:
+            raise RuntimeError("PSF has not been computed.")
+        if projection not in ("2d", "3d"):
+            raise ValueError('Projection must be "2d" or "3d".')
+
+        if fig_to_plot_on is not None:
+            fig = fig_to_plot_on
+            fig.clear()
+            ax = fig.add_subplot(
+                111, projection=None if projection == "2d" else "3d")
+        elif projection == "2d":
+            fig, ax = plt.subplots(figsize=figsize)
+        else:
+            fig, ax = plt.subplots(subplot_kw={"projection": "3d"},
+                                   figsize=figsize)
+
+        psf_np = np.asarray(self.psf)
+        min_x, min_y, max_x, max_y = self._find_bounds(psf_np, threshold)
+        zoomed = psf_np[min_x:max_x, min_y:max_y]
+        oversampling = num_points / max(zoomed.shape[0], 1)
+        if oversampling > 3:
+            warnings.warn(f"The PSF view has a high oversampling factor "
+                          f"({oversampling:.2f}). Results may be inaccurate.",
+                          stacklevel=2)
+
+        if hasattr(self, "_get_psf_units"):
+            x_extent, y_extent = self._get_psf_units(zoomed)
+            x_label, y_label = "X (µm)", "Y (µm)"
+        else:
+            x_extent, y_extent = zoomed.shape[1], zoomed.shape[0]
+            x_label, y_label = "X (pixels)", "Y (pixels)"
+
+        smooth = self._interpolate_psf(zoomed, num_points)
+        if log:
+            pos = smooth[smooth > 0]
+            floor = pos.min() if pos.size else 1e-9
+            smooth = np.where(smooth > 0, smooth, floor)
+
+        title = type(self).__name__.replace("PSF", " PSF")
+        if projection == "2d":
+            from matplotlib.colors import LogNorm
+            extent = [-x_extent / 2, x_extent / 2,
+                      -y_extent / 2, y_extent / 2]
+            im = ax.imshow(smooth, norm=LogNorm() if log else None,
+                           extent=extent, origin="lower")
+            self._annotate_original_size(fig, zoomed.shape)
+            ax.set_xlabel(x_label)
+            ax.set_ylabel(y_label)
+            ax.set_title(title)
+            cbar = fig.colorbar(im, ax=ax)
+            cbar.ax.get_yaxis().labelpad = 15
+            cbar.ax.set_ylabel("Relative Intensity (%)", rotation=270)
+        else:
+            import matplotlib.ticker as mticker
+            X, Y = np.meshgrid(
+                np.linspace(-x_extent / 2, x_extent / 2, smooth.shape[1]),
+                np.linspace(-y_extent / 2, y_extent / 2, smooth.shape[0]))
+            plot_img = np.log10(smooth) if log else smooth
+            log_formatter = None
+            if log:
+                ax.zaxis.set_major_formatter(mticker.FuncFormatter(
+                    lambda v, pos=None: f"$10^{{{int(v)}}}$"))
+                ax.zaxis.set_major_locator(mticker.MaxNLocator(integer=True))
+                log_formatter = lambda v, pos=None: f"{10**v:.1e}"  # noqa: E731
+            surf = ax.plot_surface(X, Y, plot_img, rstride=1, cstride=1,
+                                   cmap="viridis", linewidth=0,
+                                   antialiased=False)
+            self._annotate_original_size(fig, zoomed.shape)
+            ax.set_xlabel(x_label)
+            ax.set_ylabel(y_label)
+            ax.set_zlabel("Relative Intensity (%)")
+            ax.set_title(title)
+            fig.colorbar(surf, ax=ax, shrink=0.5, aspect=10, pad=0.15,
+                         format=log_formatter)
+        return fig, ax
+
+
+class FFTPSF(PSFViewMixin):
     """FFT-based PSF (reference psf/fft.py:42-293)."""
 
     def __init__(self, optic, field, wavelength=None, num_rays: int = 128,
@@ -101,15 +229,15 @@ class FFTPSF:
         c = self.grid_size // 2
         return self.psf[c, c] / 100.0
 
-    def view(self, log: bool = False, num_points: int = 128):
-        import matplotlib.pyplot as plt
-        c = self.grid_size // 2
-        h = num_points // 2
-        img = np.asarray(self.psf[c - h:c + h, c - h:c + h])
-        fig, ax = plt.subplots()
-        ax.imshow(np.log10(img + 1e-10) if log else img, cmap="inferno")
-        ax.set_title("FFT PSF")
-        return fig, ax
+    def _get_psf_units(self, image):
+        """Physical extent of an image window in µm: dx = wl * FNO / Q with
+        Q = grid_size / (num_rays - 1) (reference psf/fft.py:260-293)."""
+        model, params = self.optic.build()
+        FNO = float(get_working_FNO(model, params, self.field,
+                                    self.wavelengths[0]))
+        Q = self.grid_size / (self.num_rays - 1)
+        dx = self.wavelengths[0] * FNO / Q
+        return image.shape[1] * dx, image.shape[0] * dx
 
 
 def _scatter_disk(P_flat, inside_mask, values):
@@ -171,7 +299,7 @@ def _image_to_global(model, params, x, y, z):
             v[2].reshape(x.shape) + tz)
 
 
-class HuygensPSF:
+class HuygensPSF(PSFViewMixin):
     """Huygens-Fresnel direct-summation PSF (reference psf/huygens_fresnel.py:25-339).
 
     PSF(img) = | sum_p amp_p e^{-ik opd_p} e^{ikR}/R (1+cos theta)/2 |^2 over
@@ -299,9 +427,7 @@ class HuygensPSF:
         c = self.image_size // 2
         return self.psf[c, c] / 100.0
 
-    def view(self, log: bool = False):
-        import matplotlib.pyplot as plt
-        img = np.asarray(self.psf)
-        fig, ax = plt.subplots()
-        ax.imshow(np.log10(img + 1e-10) if log else img, cmap="inferno")
-        return fig, ax
+    def _get_psf_units(self, image):
+        """Physical extent in µm from the image-plane pixel pitch (mm)."""
+        dx_um = float(self.pixel_pitch) * 1e3
+        return image.shape[1] * dx_um, image.shape[0] * dx_um

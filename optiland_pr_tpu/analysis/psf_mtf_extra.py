@@ -15,13 +15,13 @@ import jax.numpy as jnp
 from ..core.zernike import ZernikeFit, zernike_eval
 from ..core.distributions import generate_distribution
 from ..trace.paraxial import Paraxial
-from .psf import FFTPSF, HuygensPSF, calculate_grid_size
+from .psf import FFTPSF, HuygensPSF, PSFViewMixin, calculate_grid_size
 from .wavefront import Wavefront, wavefront_data
 
 __all__ = ["MMDFTPSF", "SampledMTF", "HuygensMTF", "ThroughFocusMTF"]
 
 
-class MMDFTPSF:
+class MMDFTPSF(PSFViewMixin):
     """Matrix-method (zoomed) DFT PSF (reference psf/mmdft.py:19-315).
 
     G = L @ P @ R with L/R complex DFT kernels mapping the pupil grid to an
@@ -110,12 +110,10 @@ class MMDFTPSF:
     def strehl_ratio(self):
         return jnp.max(self.psf) / 100.0
 
-    def view(self, log=False):
-        import matplotlib.pyplot as plt
-        img = np.asarray(self.psf)
-        fig, ax = plt.subplots()
-        ax.imshow(np.log10(img + 1e-9) if log else img, cmap="inferno")
-        return fig, ax
+    def _get_psf_units(self, image):
+        """Physical extent in µm: pixel pitch is wl*FNO*clear/image (µm)."""
+        return (image.shape[1] * self.pixel_pitch,
+                image.shape[0] * self.pixel_pitch)
 
 
 class SampledMTF:

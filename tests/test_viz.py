@@ -74,3 +74,56 @@ def test_update_normalization_respects_variable_flag():
     # untouched: flagged as an optimization variable (reference
     # optic_updater.update_normalization:215-217)
     np.testing.assert_allclose(o._surfaces[1]["geom_kw"]["norm_x"], 1.0)
+
+
+def test_psf_view_pipeline():
+    """Reference BasePSF view pipeline (psf/base.py:99-408): threshold zoom
+    bounds, bicubic interpolation, physical-unit extents, 2d + 3d + log."""
+    from optiland_pr_tpu.analysis.psf import FFTPSF, PSFViewMixin
+
+    psf = FFTPSF(CookeTriplet(), field=(0.0, 0.0), wavelength=0.55,
+                 num_rays=32)
+    fig, ax = psf.view(num_points=64)
+    assert ax.get_xlabel() == "X (µm)"
+    img = ax.images[0]
+    assert img.get_array().shape == (64, 64)
+    ext = img.get_extent()
+    assert ext[1] > 0 and np.isclose(ext[1], -ext[0])
+
+    fig3, ax3 = psf.view(projection="3d", log=True, num_points=32)
+    assert ax3.name == "3d"
+
+    fig2, ax2 = psf.view(log=True, num_points=64)
+    assert ax2.images[0].norm.__class__.__name__ == "LogNorm"
+
+    import pytest
+    with pytest.raises(ValueError, match="2d.*3d|Projection"):
+        psf.view(projection="sideways")
+
+    # bounds: peak-centred square window of the above-threshold region
+    arr = np.zeros((64, 64))
+    arr[30:34, 28:38] = 1.0
+    b = PSFViewMixin._find_bounds(arr, threshold=0.5)
+    assert b[2] - b[0] == b[3] - b[1]          # square window
+    # recentred on the array centre with the lit region's max extent
+    # (reference psf/base.py:393-400 recentres on the peak pixel)
+    assert b == (27, 27, 36, 36)
+
+    # interpolation returns the requested display grid
+    sm = PSFViewMixin._interpolate_psf(arr, 128)
+    assert sm.shape == (128, 128)
+
+
+def test_huygens_mmdft_view_units():
+    from optiland_pr_tpu.analysis.psf import HuygensPSF
+    from optiland_pr_tpu.analysis.psf_mtf_extra import MMDFTPSF
+
+    h = HuygensPSF(CookeTriplet(), field=(0.0, 0.0), wavelength=0.55,
+                   num_rays=16, image_size=32)
+    fig, ax = h.view(num_points=32)
+    assert ax.get_xlabel() == "X (µm)"
+
+    m = MMDFTPSF(CookeTriplet(), field=(0.0, 0.0), wavelength=0.55,
+                 num_rays=32)
+    fig, ax = m.view(num_points=32, threshold=0.01)
+    assert ax.get_xlabel() == "X (µm)"
