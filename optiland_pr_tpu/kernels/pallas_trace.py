@@ -58,7 +58,8 @@ def supports_model(model: OpticModel) -> bool:
     polarization-dependent coatings, GRIN media and non-refractive
     interactions stay on the XLA path."""
     for spec in model.surfaces[1:]:
-        if spec.geometry.kind not in ("standard", "plane", "even_asphere"):
+        if spec.geometry.kind not in ("standard", "plane", "even_asphere",
+                                      "odd_asphere"):
             return False
         if spec.interaction != "refract_reflect":
             return False
@@ -156,18 +157,20 @@ def pack_surface_constants(model: OpticModel, params, wavelength) -> jnp.ndarray
 
 
 def pack_asphere_coeffs(model: OpticModel, params) -> jnp.ndarray:
-    """[S-1, Cmax] even-asphere coefficients, zero-padded; a [S-1, 8]-aligned
-    dummy when the system is all-conic (Pallas wants a real operand)."""
+    """[S-1, Cmax] even/odd-asphere coefficients, zero-padded; a [S-1, 8]-
+    aligned dummy when the system is all-conic (Pallas wants a real
+    operand)."""
     cmax = 1
     for spec in model.surfaces[1:]:
-        if spec.geometry.kind == "even_asphere":
+        if spec.geometry.kind in ("even_asphere", "odd_asphere"):
             cmax = max(cmax, spec.geometry.num_terms)
     cmax = max(8, ((cmax + 7) // 8) * 8)  # lane-friendly width
     rows = []
     for k in range(1, model.num_surfaces):
         spec = model.surfaces[k]
         row = jnp.zeros((cmax,), jnp.float32)
-        if spec.geometry.kind == "even_asphere" and spec.geometry.num_terms:
+        if (spec.geometry.kind in ("even_asphere", "odd_asphere")
+                and spec.geometry.num_terms):
             c = jnp.asarray(params["surfaces"][k]["geom"]["coefficients"],
                             jnp.float32)
             row = row.at[:c.shape[0]].set(c)
@@ -175,9 +178,10 @@ def pack_asphere_coeffs(model: OpticModel, params) -> jnp.ndarray:
     return jnp.stack(rows)
 
 
-def _asphere_sag_grad(radius_inv, conic, acoef, n_terms: int, xx, yy):
-    """Even-asphere sag + gradient (geometry/aspheres.py EvenAsphere):
-    z = r^2 ci / (1 + sqrt(1-(1+k) ci^2 r^2)) + sum C_i r^(2(i+1))."""
+def _asphere_sag_grad(radius_inv, conic, acoef, n_terms: int, xx, yy,
+                      odd: bool = False):
+    """Asphere sag + gradient (geometry/aspheres.py EvenAsphere/OddAsphere):
+    conic base + sum C_i r^(2(i+1)) (even) or sum C_i r^(i+1) (odd)."""
     r2 = xx * xx + yy * yy
     arg = 1.0 - (1.0 + conic) * radius_inv * radius_inv * r2
     argc = jnp.where(arg > _EPS, arg, _EPS)
@@ -186,6 +190,20 @@ def _asphere_sag_grad(radius_inv, conic, acoef, n_terms: int, xx, yy):
     inv_sq = 1.0 / sq
     gx = xx * radius_inv * inv_sq
     gy = yy * radius_inv * inv_sq
+    if odd:
+        # powers of r; d(C r^(i+1))/dx = (i+1) C x r^(i-1), clamped at axis
+        r = jnp.sqrt(jnp.maximum(r2, 1e-24))
+        term = r
+        gterm = 1.0 / r
+        for i in range(n_terms):
+            ci = acoef[i]
+            s = s + ci * term
+            kk = float(i + 1)
+            gx = gx + kk * xx * ci * gterm
+            gy = gy + kk * yy * ci * gterm
+            term = term * r
+            gterm = gterm * r
+        return s, gx, gy
     term = r2
     gterm = jnp.ones_like(r2)
     for i in range(n_terms):
@@ -202,7 +220,8 @@ def _asphere_sag_grad(radius_inv, conic, acoef, n_terms: int, xx, yy):
 def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
                   is_refl: bool, absorbing: bool, acoef=None,
                   n_terms: int = 0, has_cs: bool = False,
-                  has_ap: bool = False, has_coat: bool = False):
+                  has_ap: bool = False, has_coat: bool = False,
+                  is_odd: bool = False):
     """One surface interaction; all elementwise VPU ops.
 
     is_plane/is_refl/absorbing/has_cs/has_ap/has_coat are STATIC (baked from
@@ -270,14 +289,14 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
         t = t0 + jnp.where(ok, tq, jnp.nan)
 
     if n_terms > 0:
-        # ---- even asphere: conic warm start + fixed Newton refinement
+        # ---- even/odd asphere: conic warm start + fixed Newton refinement
         # (geometry/base.py newton_distance, statically unrolled) ----------
         for _ in range(_NEWTON_ITERS):
             xx = x + t * L
             yy = y + t * M
             zz = z + t * N
             s, gx, gy = _asphere_sag_grad(radius_inv, conic, acoef,
-                                          n_terms, xx, yy)
+                                          n_terms, xx, yy, odd=is_odd)
             f = s - zz
             dfdt = gx * L + gy * M - N
             dfdt = jnp.where(jnp.abs(dfdt) > _EPS, dfdt,
@@ -303,7 +322,8 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
 
     if n_terms > 0:
         # ---- asphere normal + refract/reflect -----------------------------
-        _, gx, gy = _asphere_sag_grad(radius_inv, conic, acoef, n_terms, x, y)
+        _, gx, gy = _asphere_sag_grad(radius_inv, conic, acoef, n_terms, x, y,
+                                      odd=is_odd)
         inv_mag = jax.lax.rsqrt(gx * gx + gy * gy + 1.0)
         nx = gx * inv_mag
         ny = gy * inv_mag
@@ -387,10 +407,11 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
 
 
 def _step_kwargs(flag):
-    is_plane, is_refl, absorbing, n_terms, has_cs, has_ap, has_coat = flag
+    (is_plane, is_refl, absorbing, n_terms, has_cs, has_ap, has_coat,
+     is_odd) = flag
     return dict(is_plane=is_plane, is_refl=is_refl, absorbing=absorbing,
                 n_terms=n_terms, has_cs=has_cs, has_ap=has_ap,
-                has_coat=has_coat)
+                has_coat=has_coat, is_odd=is_odd)
 
 
 def _kernel(consts_ref, acoef_ref, x_ref, y_ref, z_ref, l_ref, m_ref, n_ref,
@@ -420,8 +441,9 @@ def _kernel(consts_ref, acoef_ref, x_ref, y_ref, z_ref, l_ref, m_ref, n_ref,
 
 def model_flags(model: OpticModel, params) -> tuple:
     """Static per-surface specialization flags:
-    (is_plane, is_reflective, absorbing, n_terms, has_cs, has_ap, has_coat)
-    (n_terms > 0 selects the in-kernel asphere Newton path)."""
+    (is_plane, is_reflective, absorbing, n_terms, has_cs, has_ap, has_coat,
+    is_odd) (n_terms > 0 selects the in-kernel asphere Newton path; is_odd
+    picks the OddAsphere r-power polynomial)."""
     flags = []
     for k in range(1, model.num_surfaces):
         spec = model.surfaces[k]
@@ -431,10 +453,12 @@ def model_flags(model: OpticModel, params) -> tuple:
         pre = model.surfaces[k - 1]
         absorbing = model.surfaces[pre.material_src].material.absorbing
         n_terms = (spec.geometry.num_terms
-                   if spec.geometry.kind == "even_asphere" else 0)
+                   if spec.geometry.kind in ("even_asphere", "odd_asphere")
+                   else 0)
         flags.append((is_plane, spec.is_reflective, absorbing, n_terms,
                       spec.has_tilt_decenter, spec.aperture is not None,
-                      spec.coating is not None))
+                      spec.coating is not None,
+                      spec.geometry.kind == "odd_asphere"))
     return tuple(flags)
 
 

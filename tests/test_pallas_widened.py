@@ -201,6 +201,51 @@ def test_polychromatic_gen_trace():
                                    rtol=1e-6)
 
 
+def _odd_asphere_singlet():
+    lens = Optic(name="odd-asphere singlet")
+    lens.add_surface(index=0, radius=jnp.inf, thickness=jnp.inf)
+    lens.add_surface(index=1, radius=55.0, conic=-0.4, thickness=7.0,
+                     material=1.5168, is_stop=True,
+                     surface_type="odd_asphere",
+                     coefficients=[1e-5, -2e-6, 4e-8])
+    lens.add_surface(index=2, radius=-300.0, thickness=90.0)
+    lens.add_surface(index=3)
+    lens.set_aperture(aperture_type="EPD", value=18.0)
+    lens.set_field_type(field_type="angle")
+    lens.add_field(y=0)
+    lens.add_field(y=2)
+    lens.add_wavelength(value=0.55, is_primary=True)
+    return lens
+
+
+def test_odd_asphere_gen_trace_parity():
+    """OddAsphere surfaces on the fast path: in-kernel Newton on the r-power
+    polynomial (geometry/aspheres.py OddAsphere, reference
+    geometries/odd_asphere.py)."""
+    lens = _odd_asphere_singlet()
+    model, params = lens.build()
+    params = _f32(params)
+    assert supports_model(model)
+    assert model_flags(model, params)[0][7]  # is_odd on surface 1
+    Px, Py = _pupil(1024, seed=8)
+
+    for Hy in (0.0, 1.0):
+        rays_k = pallas_gen_trace_conic(model, params, Px, Py, 0.55,
+                                        Hx=0.0, Hy=Hy, final_prop=True,
+                                        block_rows=4, interpret=True)
+        rays_x = _xla_pipeline(model, params, jnp.zeros_like(Px),
+                               jnp.zeros_like(Px) + Hy, Px, Py, 0.55)
+        np.testing.assert_allclose(np.asarray(rays_k.x),
+                                   np.asarray(rays_x.x),
+                                   rtol=1e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(rays_k.y),
+                                   np.asarray(rays_x.y),
+                                   rtol=1e-4, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(rays_k.opd),
+                                   np.asarray(rays_x.opd),
+                                   rtol=1e-5, atol=2e-3)
+
+
 def test_monochromatic_cooke_still_exact():
     """Regression: the original mono Cooke path through the new kernel."""
     model, params = CookeTriplet().build()

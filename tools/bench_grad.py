@@ -1,9 +1,15 @@
 """Gradient-step throughput for a 50-variable merit function (BASELINE
 "grad-step/s for 50-var merit fn").
 
-Builds a double-Gauss problem with 50 variables (11 radii + 11 thicknesses +
-asphere coefficients + conics across surfaces) and an RMS-spot merit over
-3 fields x 512 rays, then times jitted value_and_grad steps.
+Builds a double-Gauss problem with 50 distinct variables (11 radii +
+11 thicknesses + 11 conics + 12 glass dispersion coefficients + 5 air
+indices) and an RMS-spot merit over 3 fields, then times jitted
+value_and_grad steps.
+
+Reciprocal-scaled radius variables are deliberately NOT placed on flat
+surfaces: 1/R = 0 there and the unscale R = 1/x has an infinite derivative
+at x = 0, so the gradient is NaN by construction (matches the reference
+scaler's behavior, optiland/optimization/scaling/reciprocal.py).
 
 Run on TPU: python tools/bench_grad.py
 """
@@ -34,7 +40,9 @@ def main():
                                         "distribution": "hexapolar"})
     problem.add_operand("f2", target=100.0, weight=0.1)
 
-    # 50 variables: radii + conics + thicknesses
+    # 50 distinct variables: radii + conics + thicknesses + glass
+    # dispersion coefficients + air indices (every leaf unique, every
+    # gradient finite).
     for k in range(1, 12):
         problem.add_variable("radius", surface_number=k)
     for k in range(1, 12):
@@ -42,12 +50,13 @@ def main():
     for k in range(1, 12):
         problem.add_variable("thickness", surface_number=k)
     for k in range(1, 12):
-        problem.add_variable("index", surface_number=k) \
-            if lens.model.surfaces[k].material.kind == "ideal" else \
-            problem.add_variable("radius", surface_number=k,
-                                 scaler="reciprocal")
-    for k in range(1, 6):
-        problem.add_variable("conic", surface_number=k)
+        if lens.model.surfaces[k].material.kind == "formula":
+            for c in (0, 1):
+                problem.add_variable(
+                    "path", path=("surfaces", k, "material", "coefficients"),
+                    element=(c,))
+        else:
+            problem.add_variable("index", surface_number=k)
 
     x0 = problem.x0()
     n_vars = int(x0.shape[0])
