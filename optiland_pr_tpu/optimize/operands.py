@@ -175,17 +175,20 @@ def clearance(model, params, line_ray_surface_idx, line_ray_field_coords,
 
 
 def edge_thickness(model, params, surface_number, semi_aperture=None, **kw):
-    """Edge thickness between surface k and k+1 (reference lens.py).
+    """Edge thickness between surface k and k+1 (reference lens.py:24-50).
 
-    ``semi_aperture`` defaults to the paraxial semi-aperture
-    (|y_marginal| + |y_chief|) at surface k.
+    ``semi_aperture`` defaults to the reference's choice: the MINIMUM of the
+    paraxial semi-apertures (|y_marginal| + |y_chief|, optic_updater.py:202)
+    of the two surfaces.
     """
     par = Paraxial(model, params)
     if semi_aperture is None:
         ya, _ = par.marginal_ray()
         yb, _ = par.chief_ray()
-        semi_aperture = jnp.abs(ya[surface_number][0]) + \
-            jnp.abs(yb[surface_number][0])
+        r1 = jnp.abs(ya[surface_number][0]) + jnp.abs(yb[surface_number][0])
+        r2 = jnp.abs(ya[surface_number + 1][0]) + \
+            jnp.abs(yb[surface_number + 1][0])
+        semi_aperture = jnp.minimum(r1, r2)
     s1 = model.surfaces[surface_number]
     s2 = model.surfaces[surface_number + 1]
     p1 = params["surfaces"][surface_number]["geom"]
@@ -208,13 +211,16 @@ def rms_wavefront_error(model, params, Hx, Hy, num_rays, wavelength,
 
 
 def _aberration_metric(name, summed=False):
+    """Per-surface term indexes the raw third_order array directly —
+    reference operand/aberration.py:78-123 does `TSC()[surface_number]`
+    (no off-by-one shift)."""
     def metric(model, params, surface_number=None, **kw):
         d = third_order(model, params)
         v = d[name]
         if summed:
             return jnp.sum(v)
         if surface_number is not None:
-            return v[surface_number - 1]
+            return v[surface_number]
         return v
     metric.__name__ = name
     return metric

@@ -47,11 +47,15 @@ class PowScaler:
 
 
 class ReciprocalScaler:
+    """1/v both ways. IEEE semantics reproduce the reference's explicit
+    branches (scaling/reciprocal.py: inf -> 0, 0 -> inf) without breaking
+    jit; jnp.asarray avoids Python-float ZeroDivisionError at v = 0."""
+
     def scale(self, v):
-        return 1.0 / v
+        return 1.0 / jnp.asarray(v)
 
     def inverse_scale(self, v):
-        return 1.0 / v
+        return 1.0 / jnp.asarray(v)
 
 
 _SCALERS = {"identity": IdentityScaler, "linear": LinearScaler,
