@@ -60,6 +60,27 @@ def _tilted_singlet():
     return lens
 
 
+def _chebyshev_freeform():
+    import jax.numpy as jnp
+    from optiland_pr_tpu.system.optic import Optic
+    lens = Optic(name="chebyshev freeform singlet")
+    lens.add_surface(index=0, radius=jnp.inf, thickness=jnp.inf)
+    lens.add_surface(index=1, radius=60.0, conic=-0.2, thickness=7.0,
+                     material="N-BK7", is_stop=True,
+                     surface_type="chebyshev", norm_x=10.0, norm_y=10.0,
+                     coefficients=[[0.0, 1e-4, 0.0, 2e-5],
+                                   [5e-5, 0.0, 1e-5, 0.0],
+                                   [0.0, 3e-5, 0.0, 0.0],
+                                   [1e-5, 0.0, 0.0, 0.0]])
+    lens.add_surface(index=2, radius=-320.0, thickness=92.0)
+    lens.add_surface(index=3)
+    lens.set_aperture(aperture_type="EPD", value=16.0)
+    lens.set_field_type(field_type="angle")
+    lens.add_field(y=0)
+    lens.add_wavelength(value=0.55, is_primary=True)
+    return lens
+
+
 def _time_best(fn, *args, reps=10, rounds=3):
     from optiland_pr_tpu.utils import time_best
     return time_best(fn, *args, reps=reps, rounds=rounds)
@@ -137,6 +158,7 @@ def suite():
         ("double_gauss_3wl", DoubleGauss, FRAUNHOFER, 2_000_000, "auto"),
         ("hubble_obscured", HubbleTelescope, 0.55, N_RAYS, "auto"),
         ("tilted_singlet", _tilted_singlet, 0.55, N_RAYS, "auto"),
+        ("chebyshev_freeform", _chebyshev_freeform, 0.55, N_RAYS, "auto"),
         ("cooke_triplet_xla", CookeTriplet, 0.55, 1_000_000, "xla"),
     ]
     results = []

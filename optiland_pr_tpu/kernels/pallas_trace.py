@@ -1,4 +1,4 @@
-"""Fused Pallas trace kernel for conic/asphere surface stacks.
+"""Fused Pallas trace kernel for conic/asphere/freeform surface stacks.
 
 The XLA path executes the unrolled surface chain as fused elementwise ops, but
 intermediate ray state still round-trips HBM between fusion boundaries. This
@@ -8,7 +8,8 @@ registers/VMEM, and writes final state once (SURVEY.md §7 stage 7).
 
 Scope (the fast-path contract, reference hot path
 surfaces/standard_surface.py:186-287):
-- conic / plane / even-asphere geometries, refract or reflect,
+- conic / plane / even+odd asphere / XY-polynomial / Chebyshev / biconic /
+  toroidal geometries, refract or reflect,
 - per-surface tilt/decenter (fold mirrors): localize/globalize with a packed
   3x3 rotation, statically skipped for untitled surfaces,
 - radial / offset-radial apertures (e.g. Hubble's central obscuration):
@@ -18,17 +19,20 @@ surfaces/standard_surface.py:186-287):
 - polychromatic bundles: the grid gains a wavelength axis; each block is
   monochromatic with its own per-surface index/absorption constants, so no
   per-ray gathers ever happen.
-Aspheres intersect in-kernel: conic warm start + _NEWTON_ITERS fixed Newton
-steps (value path only; gradients use the XLA trace with implicit-diff
-Newton). The general path (freeforms, gratings, polarization, GRIN) stays on
-XLA.
+Non-conic geometries intersect in-kernel: conic warm start + _NEWTON_ITERS
+fixed Newton steps on the statically-dispatched freeform sag (value path
+only; gradients use the XLA trace with implicit-diff Newton). The general
+path (Zernike/Forbes/NURBS/grid sags, gratings, phase surfaces, polarization,
+GRIN, BSDFs) stays on XLA.
 
 Surface constants are packed into a [S, 32] array (or [W, S, 32] for W
 wavelengths); the kernel receives it whole in VMEM and reads scalars per
 (statically unrolled) surface:
   0 radius_inv  1 conic  2 pos_z  3 n1  4 n2  5 alpha_abs  6 coat_factor
   8..16 rotation row-major r00..r22   17 tx  18 ty  19 tz
-  20 ap_rmin2  21 ap_rmax2  22 ap_ox  23 ap_oy          (rest padding)
+  20 ap_rmin2  21 ap_rmax2  22 ap_ox  23 ap_oy
+  24/25 per-kind geometry extras (cheb norm_x/norm_y, biconic x-curvature/
+  x-conic, toroidal rotation radius)                     (rest padding)
 """
 from __future__ import annotations
 
@@ -52,14 +56,15 @@ _NEWTON_ITERS = 8  # fixed in-kernel Newton refinements for aspheres
 
 
 def supports_model(model: OpticModel) -> bool:
-    """True if every inner surface is a conic/plane/even-asphere
-    refract/reflect surface whose extras the kernel can fuse: tilt/decenter,
-    radial or offset-radial apertures, scalar (simple) coatings. BSDFs,
-    polarization-dependent coatings, GRIN media and non-refractive
-    interactions stay on the XLA path."""
+    """True if every inner surface is a conic/plane/asphere/XY-polynomial/
+    Chebyshev/biconic/toroidal refract/reflect surface whose extras the
+    kernel can fuse: tilt/decenter, radial or offset-radial apertures,
+    scalar (simple) coatings. BSDFs, polarization-dependent coatings, GRIN
+    media and non-refractive interactions stay on the XLA path."""
     for spec in model.surfaces[1:]:
         if spec.geometry.kind not in ("standard", "plane", "even_asphere",
-                                      "odd_asphere"):
+                                      "odd_asphere", "polynomial_xy",
+                                      "chebyshev", "biconic", "toroidal"):
             return False
         if spec.interaction != "refract_reflect":
             return False
@@ -132,6 +137,21 @@ def _pack_rows(model: OpticModel, params, wavelength) -> jnp.ndarray:
             rmax2 = jnp.asarray(jnp.inf)
             aox = aoy = jnp.asarray(0.0)
 
+        # ---- per-kind extra geometry scalars (slots 24, 25) ----------------
+        gx24 = jnp.asarray(0.0)
+        gx25 = jnp.asarray(0.0)
+        gk = spec.geometry.kind
+        if gk == "chebyshev":
+            gx24 = sp["geom"]["norm_x"]
+            gx25 = sp["geom"]["norm_y"]
+        elif gk == "biconic":
+            rx = sp["geom"]["radius_x"]
+            gx24 = jnp.where(jnp.isinf(rx), 0.0, 1.0 / rx)
+            gx25 = sp["geom"]["conic_x"]
+        elif gk == "toroidal":
+            rr = sp["geom"]["radius_rot"]
+            gx24 = jnp.where(jnp.isinf(rr), 1.0, rr)
+
         head = jnp.stack([
             jnp.reshape(radius_inv, ()), jnp.reshape(conic, ()),
             jnp.reshape(pos[k], ()), jnp.reshape(n1, ()),
@@ -139,9 +159,10 @@ def _pack_rows(model: OpticModel, params, wavelength) -> jnp.ndarray:
             jnp.reshape(coat, ()), jnp.zeros(()),
         ])
         apr = jnp.stack([jnp.reshape(rmin2, ()), jnp.reshape(rmax2, ()),
-                         jnp.reshape(aox, ()), jnp.reshape(aoy, ())])
+                         jnp.reshape(aox, ()), jnp.reshape(aoy, ()),
+                         jnp.reshape(gx24, ()), jnp.reshape(gx25, ())])
         row = jnp.concatenate([head, Rm, tvec, apr,
-                               jnp.zeros(_CONST_W - 24)])
+                               jnp.zeros(_CONST_W - 26)])
         rows.append(row)
     return jnp.stack(rows).astype(jnp.float32)
 
@@ -156,24 +177,38 @@ def pack_surface_constants(model: OpticModel, params, wavelength) -> jnp.ndarray
     return jax.vmap(lambda w: _pack_rows(model, params, w))(wl)
 
 
+def _geom_coeff_vector(spec, gp):
+    """Flattened per-surface geometry coefficient vector for the kernel, or
+    None for coefficient-free kinds (conic/plane/biconic)."""
+    gk = spec.geometry.kind
+    if gk in ("even_asphere", "odd_asphere") and spec.geometry.num_terms:
+        return jnp.asarray(gp["coefficients"], jnp.float32)
+    if gk in ("polynomial_xy", "chebyshev"):
+        return jnp.asarray(gp["coefficients"], jnp.float32).reshape(-1)
+    if gk == "toroidal" and spec.geometry.num_terms:
+        return jnp.asarray(gp["coeffs_poly_y"], jnp.float32)
+    return None
+
+
 def pack_asphere_coeffs(model: OpticModel, params) -> jnp.ndarray:
-    """[S-1, Cmax] even/odd-asphere coefficients, zero-padded; a [S-1, 8]-
-    aligned dummy when the system is all-conic (Pallas wants a real
-    operand)."""
+    """[S-1, Cmax] per-surface geometry coefficients (even/odd asphere
+    polynomial, row-major XY/Chebyshev grids, toroidal y-polynomial),
+    zero-padded; a [S-1, 8]-aligned dummy when the system is all-conic
+    (Pallas wants a real operand)."""
+    vecs = []
     cmax = 1
-    for spec in model.surfaces[1:]:
-        if spec.geometry.kind in ("even_asphere", "odd_asphere"):
-            cmax = max(cmax, spec.geometry.num_terms)
+    for k in range(1, model.num_surfaces):
+        v = _geom_coeff_vector(model.surfaces[k],
+                               params["surfaces"][k]["geom"])
+        vecs.append(v)
+        if v is not None:
+            cmax = max(cmax, int(v.shape[0]))
     cmax = max(8, ((cmax + 7) // 8) * 8)  # lane-friendly width
     rows = []
-    for k in range(1, model.num_surfaces):
-        spec = model.surfaces[k]
+    for v in vecs:
         row = jnp.zeros((cmax,), jnp.float32)
-        if (spec.geometry.kind in ("even_asphere", "odd_asphere")
-                and spec.geometry.num_terms):
-            c = jnp.asarray(params["surfaces"][k]["geom"]["coefficients"],
-                            jnp.float32)
-            row = row.at[:c.shape[0]].set(c)
+        if v is not None:
+            row = row.at[:v.shape[0]].set(v)
         rows.append(row)
     return jnp.stack(rows)
 
@@ -217,11 +252,129 @@ def _asphere_sag_grad(radius_inv, conic, acoef, n_terms: int, xx, yy,
     return s, gx, gy
 
 
+def _conic_base(radius_inv, conic, xx, yy):
+    """Conic sag + gradient in curvature form (geometry/standard.py)."""
+    r2 = xx * xx + yy * yy
+    arg = 1.0 - (1.0 + conic) * radius_inv * radius_inv * r2
+    argc = jnp.where(arg > _EPS, arg, _EPS)
+    sq = jnp.sqrt(argc)
+    s = r2 * radius_inv / (1.0 + sq)
+    inv_sq = 1.0 / sq
+    return s, xx * radius_inv * inv_sq, yy * radius_inv * inv_sq
+
+
+def _axis_conic(cv, k, v):
+    """1-D conic section sag + derivative in curvature form
+    (geometry/aspheres.py Biconic._axis_sag/_axis_grad)."""
+    arg = 1.0 - (1.0 + k) * cv * cv * v * v
+    argc = jnp.where(arg > _EPS, arg, _EPS)
+    sq = jnp.sqrt(argc)
+    s = cv * v * v / (1.0 + sq)
+    return s, cv * v / sq
+
+
+def _freeform_sag_grad(gkind: str, nu: int, nv: int, c, acoef, xx, yy):
+    """Static per-kind sag + gradient dispatch for the in-kernel Newton
+    solve and exit normal. Mirrors geometry/aspheres.py exactly (including
+    the Chebyshev missing-1/norm derivative quirk)."""
+    radius_inv, conic = c[0], c[1]
+    if gkind in ("even", "odd"):
+        return _asphere_sag_grad(radius_inv, conic, acoef, nu, xx, yy,
+                                 odd=(gkind == "odd"))
+    if gkind == "poly":
+        # z = conic + sum_ij C[i,j] x^i y^j  (row-major acoef[i*nv+j])
+        s, gx, gy = _conic_base(radius_inv, conic, xx, yy)
+        xp = [jnp.ones_like(xx)]
+        for _ in range(nu - 1):
+            xp.append(xp[-1] * xx)
+        yp = [jnp.ones_like(yy)]
+        for _ in range(nv - 1):
+            yp.append(yp[-1] * yy)
+        for i in range(nu):
+            for j in range(nv):
+                cij = acoef[i * nv + j]
+                s = s + cij * xp[i] * yp[j]
+                if i > 0:
+                    gx = gx + float(i) * cij * xp[i - 1] * yp[j]
+                if j > 0:
+                    gy = gy + float(j) * cij * xp[i] * yp[j - 1]
+        return s, gx, gy
+    if gkind == "cheb":
+        # z = conic + sum_ij C[i,j] T_i(x/nx) T_j(y/ny); derivative at the
+        # NORMALIZED coordinate without the 1/norm chain factor (the
+        # reference quirk, geometries/chebyshev.py _surface_normal)
+        s, gx, gy = _conic_base(radius_inv, conic, xx, yy)
+        u = xx / c[24]
+        v = yy / c[25]
+
+        def cheb_tu(n, w):
+            ts = [jnp.ones_like(w)]
+            if n > 1:
+                ts.append(w)
+            for _ in range(2, n):
+                ts.append(2.0 * w * ts[-1] - ts[-2])
+            us = [jnp.ones_like(w)]
+            if n > 2:
+                us.append(2.0 * w)
+            for _ in range(3, n):
+                us.append(2.0 * w * us[-1] - us[-2])
+            dts = [jnp.zeros_like(w)]
+            for kk in range(1, n):
+                dts.append(float(kk) * us[kk - 1])
+            return ts, dts
+
+        tx, dtx = cheb_tu(nu, u)
+        ty, dty = cheb_tu(nv, v)
+        for i in range(nu):
+            for j in range(nv):
+                cij = acoef[i * nv + j]
+                s = s + cij * tx[i] * ty[j]
+                if i > 0:
+                    gx = gx + cij * dtx[i] * ty[j]
+                if j > 0:
+                    gy = gy + cij * tx[i] * dty[j]
+        return s, gx, gy
+    if gkind == "biconic":
+        # c[0]/c[1]: y-curve (radius_inv, conic); c[24]/c[25]: x-curve
+        sy, gy = _axis_conic(radius_inv, conic, yy)
+        sx, gx = _axis_conic(c[24], c[25], xx)
+        return sx + sy, gx, gy
+    if gkind in ("toroidal", "toroidal_inf"):
+        # y-z conic curve + even y-polynomial, swept about x with radius
+        # c[24] (geometry/aspheres.py Toroidal). toroidal_inf (infinite
+        # rotation radius) degenerates to the plain y-curve (a cylinder).
+        zy, dzy = _axis_conic(radius_inv, conic, yy)
+        y2 = yy * yy
+        term = y2
+        dterm = yy
+        for i in range(nu):
+            ci = acoef[i]
+            zy = zy + ci * term
+            dzy = dzy + 2.0 * float(i + 1) * ci * dterm
+            term = term * y2
+            dterm = dterm * y2
+        if gkind == "toroidal_inf":
+            return zy, jnp.zeros_like(xx), dzy
+        R = c[24]
+        dz = R - zy
+        inside = dz * dz - xx * xx
+        ok = inside > _EPS
+        root = jnp.sqrt(jnp.where(ok, inside, _EPS))
+        sgn = jnp.where(dz >= 0, 1.0, -1.0)
+        s = R - sgn * root
+        sgnR = jnp.where(R >= 0, 1.0, -1.0)
+        inv_root = 1.0 / root
+        gx = jnp.where(ok, sgnR * xx * inv_root, 0.0)
+        gyt = jnp.where(ok, sgnR * dz * dzy * inv_root, 0.0)
+        return s, gx, gyt
+    raise ValueError(f"unknown kernel geometry kind {gkind!r}")
+
+
 def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
                   is_refl: bool, absorbing: bool, acoef=None,
-                  n_terms: int = 0, has_cs: bool = False,
-                  has_ap: bool = False, has_coat: bool = False,
-                  is_odd: bool = False):
+                  gkind: str = "conic", nu: int = 0, nv: int = 0,
+                  has_cs: bool = False, has_ap: bool = False,
+                  has_coat: bool = False):
     """One surface interaction; all elementwise VPU ops.
 
     is_plane/is_refl/absorbing/has_cs/has_ap/has_coat are STATIC (baked from
@@ -288,15 +441,14 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
         tq = jnp.where(jnp.abs(t_near) <= jnp.abs(t_far), t_near, t_far)
         t = t0 + jnp.where(ok, tq, jnp.nan)
 
-    if n_terms > 0:
-        # ---- even/odd asphere: conic warm start + fixed Newton refinement
+    if gkind != "conic":
+        # ---- freeform: conic warm start + fixed Newton refinement
         # (geometry/base.py newton_distance, statically unrolled) ----------
         for _ in range(_NEWTON_ITERS):
             xx = x + t * L
             yy = y + t * M
             zz = z + t * N
-            s, gx, gy = _asphere_sag_grad(radius_inv, conic, acoef,
-                                          n_terms, xx, yy, odd=is_odd)
+            s, gx, gy = _freeform_sag_grad(gkind, nu, nv, c, acoef, xx, yy)
             f = s - zz
             dfdt = gx * L + gy * M - N
             dfdt = jnp.where(jnp.abs(dfdt) > _EPS, dfdt,
@@ -320,10 +472,9 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
         inside = (r2a >= c[20]) & (r2a <= c[21])
         inten = inten * inside.astype(inten.dtype)
 
-    if n_terms > 0:
-        # ---- asphere normal + refract/reflect -----------------------------
-        _, gx, gy = _asphere_sag_grad(radius_inv, conic, acoef, n_terms, x, y,
-                                      odd=is_odd)
+    if gkind != "conic":
+        # ---- freeform normal + refract/reflect ----------------------------
+        _, gx, gy = _freeform_sag_grad(gkind, nu, nv, c, acoef, x, y)
         inv_mag = jax.lax.rsqrt(gx * gx + gy * gy + 1.0)
         nx = gx * inv_mag
         ny = gy * inv_mag
@@ -407,11 +558,11 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
 
 
 def _step_kwargs(flag):
-    (is_plane, is_refl, absorbing, n_terms, has_cs, has_ap, has_coat,
-     is_odd) = flag
+    (is_plane, is_refl, absorbing, gkind, nu, nv, has_cs, has_ap,
+     has_coat) = flag
     return dict(is_plane=is_plane, is_refl=is_refl, absorbing=absorbing,
-                n_terms=n_terms, has_cs=has_cs, has_ap=has_ap,
-                has_coat=has_coat, is_odd=is_odd)
+                gkind=gkind, nu=nu, nv=nv, has_cs=has_cs, has_ap=has_ap,
+                has_coat=has_coat)
 
 
 def _kernel(consts_ref, acoef_ref, x_ref, y_ref, z_ref, l_ref, m_ref, n_ref,
@@ -439,11 +590,18 @@ def _kernel(consts_ref, acoef_ref, x_ref, y_ref, z_ref, l_ref, m_ref, n_ref,
     oo[:] = opd
 
 
+_KERNEL_KINDS = {"standard": "conic", "plane": "conic",
+                 "even_asphere": "even", "odd_asphere": "odd",
+                 "polynomial_xy": "poly", "chebyshev": "cheb",
+                 "biconic": "biconic", "toroidal": "toroidal"}
+
+
 def model_flags(model: OpticModel, params) -> tuple:
     """Static per-surface specialization flags:
-    (is_plane, is_reflective, absorbing, n_terms, has_cs, has_ap, has_coat,
-    is_odd) (n_terms > 0 selects the in-kernel asphere Newton path; is_odd
-    picks the OddAsphere r-power polynomial)."""
+    (is_plane, is_reflective, absorbing, gkind, nu, nv, has_cs, has_ap,
+    has_coat). ``gkind`` != "conic" selects the in-kernel Newton path with
+    the matching freeform sag; nu/nv are the static coefficient counts
+    (polynomial term count, or the XY/Chebyshev grid shape)."""
     flags = []
     for k in range(1, model.num_surfaces):
         spec = model.surfaces[k]
@@ -452,13 +610,19 @@ def model_flags(model: OpticModel, params) -> tuple:
                                                            np.inf))))
         pre = model.surfaces[k - 1]
         absorbing = model.surfaces[pre.material_src].material.absorbing
-        n_terms = (spec.geometry.num_terms
-                   if spec.geometry.kind in ("even_asphere", "odd_asphere")
-                   else 0)
-        flags.append((is_plane, spec.is_reflective, absorbing, n_terms,
+        gk = spec.geometry.kind
+        gkind = _KERNEL_KINDS[gk]
+        nu = nv = 0
+        if gk in ("even_asphere", "odd_asphere", "toroidal"):
+            nu = spec.geometry.num_terms
+        elif gk in ("polynomial_xy", "chebyshev"):
+            nu, nv = spec.geometry.num_x, spec.geometry.num_y
+        if gk == "toroidal" and bool(np.isinf(
+                np.asarray(sp["geom"]["radius_rot"]))):
+            gkind = "toroidal_inf"
+        flags.append((is_plane, spec.is_reflective, absorbing, gkind, nu, nv,
                       spec.has_tilt_decenter, spec.aperture is not None,
-                      spec.coating is not None,
-                      spec.geometry.kind == "odd_asphere"))
+                      spec.coating is not None))
     return tuple(flags)
 
 

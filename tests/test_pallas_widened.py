@@ -226,7 +226,7 @@ def test_odd_asphere_gen_trace_parity():
     model, params = lens.build()
     params = _f32(params)
     assert supports_model(model)
-    assert model_flags(model, params)[0][7]  # is_odd on surface 1
+    assert model_flags(model, params)[0][3] == "odd"  # surface 1 gkind
     Px, Py = _pupil(1024, seed=8)
 
     for Hy in (0.0, 1.0):
@@ -244,6 +244,64 @@ def test_odd_asphere_gen_trace_parity():
         np.testing.assert_allclose(np.asarray(rays_k.opd),
                                    np.asarray(rays_x.opd),
                                    rtol=1e-5, atol=2e-3)
+
+
+def _freeform_singlet(surface_type, **geom_kw):
+    lens = Optic(name=f"{surface_type} singlet")
+    lens.add_surface(index=0, radius=jnp.inf, thickness=jnp.inf)
+    lens.add_surface(index=1, radius=60.0, conic=-0.2, thickness=7.0,
+                     material=1.5168, is_stop=True,
+                     surface_type=surface_type, **geom_kw)
+    lens.add_surface(index=2, radius=-320.0, thickness=92.0)
+    lens.add_surface(index=3)
+    lens.set_aperture(aperture_type="EPD", value=16.0)
+    lens.set_field_type(field_type="angle")
+    lens.add_field(y=0)
+    lens.add_field(y=2)
+    lens.add_wavelength(value=0.55, is_primary=True)
+    return lens
+
+
+@pytest.mark.parametrize("surface_type,geom_kw,expect_kind", [
+    ("chebyshev", dict(num_x=4, num_y=4, norm_x=10.0, norm_y=10.0,
+                       coefficients=[[0.0, 1e-4, 0.0, 2e-5],
+                                     [5e-5, 0.0, 1e-5, 0.0],
+                                     [0.0, 3e-5, 0.0, 0.0],
+                                     [1e-5, 0.0, 0.0, 0.0]]), "cheb"),
+    ("polynomial", dict(coefficients=[[0.0, 0.0, 1e-5, 0.0],
+                                      [0.0, 2e-6, 0.0, 0.0],
+                                      [1e-5, 0.0, 1e-7, 0.0],
+                                      [0.0, 0.0, 0.0, 1e-8]]), "poly"),
+    ("biconic", dict(radius_x=80.0, conic_x=-0.5), "biconic"),
+    ("toroidal", dict(radius_rot=150.0, coeffs_poly_y=[1e-5, -2e-7]),
+     "toroidal"),
+])
+def test_freeform_gen_trace_parity(surface_type, geom_kw, expect_kind):
+    """Freeform sags on the fast path: in-kernel Newton on XY polynomials,
+    Chebyshev grids (incl. the reference's missing-1/norm derivative quirk),
+    biconic and toroidal surfaces — vs the XLA general path at f32."""
+    lens = _freeform_singlet(surface_type, **geom_kw)
+    model, params = lens.build()
+    params = _f32(params)
+    assert supports_model(model)
+    assert model_flags(model, params)[0][3] == expect_kind
+    Px, Py = _pupil(1024, seed=9)
+
+    for Hy in (0.0, 1.0):
+        rays_k = pallas_gen_trace_conic(model, params, Px, Py, 0.55,
+                                        Hx=0.0, Hy=Hy, final_prop=True,
+                                        block_rows=4, interpret=True)
+        rays_x = _xla_pipeline(model, params, jnp.zeros_like(Px),
+                               jnp.zeros_like(Px) + Hy, Px, Py, 0.55)
+        np.testing.assert_allclose(np.asarray(rays_k.x),
+                                   np.asarray(rays_x.x),
+                                   rtol=1e-4, atol=5e-4, err_msg=surface_type)
+        np.testing.assert_allclose(np.asarray(rays_k.y),
+                                   np.asarray(rays_x.y),
+                                   rtol=1e-4, atol=5e-4, err_msg=surface_type)
+        np.testing.assert_allclose(np.asarray(rays_k.opd),
+                                   np.asarray(rays_x.opd),
+                                   rtol=1e-5, atol=2e-3, err_msg=surface_type)
 
 
 def test_monochromatic_cooke_still_exact():
