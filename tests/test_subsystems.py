@@ -344,7 +344,8 @@ def test_pallas_asphere_kernel_interpret_mode():
     consts = pt.pack_surface_constants(model, params32, 0.587)
     acoef = pt.pack_asphere_coeffs(model, params32)
     flags = pt.model_flags(model, params32)
-    assert any(f[3] > 0 for f in flags)
+    # flags layout: (is_plane, is_refl, absorbing, gkind, nu, nv, ...)
+    assert any(f[3] == "even" and f[4] > 0 for f in flags)
     rows, lanes = 8, 128
 
     def shape(a):
