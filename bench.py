@@ -1,20 +1,22 @@
-"""Benchmark: real-ray throughput of the fused Pallas trace pipeline.
+"""Benchmark: real-ray + gradient throughput of the fused Pallas pipeline.
 
-Default (driver contract): ONE JSON line for the headline metric —
+Driver contract: prints ONE JSON line for the headline metric —
 ray-surfaces/s/chip on the 6-surface Cooke triplet
-{"metric", "value", "unit", "vs_baseline"}.
+{"metric", "value", "unit", "vs_baseline"} — as the LAST stdout line.
 
-``python bench.py --suite`` runs the full benchmark suite (VERDICT round-1
-item 3): Cooke mono + 3-wavelength, AsphericSinglet, DoubleGauss mono +
-3-wavelength, Hubble (mirrors + central obscuration), tilted singlet
-(tilt/decenter fast path), and the XLA fallback — one JSON line each, plus
-a combined BENCH_SUITE.json.
+Default run = the full suite (VERDICT r2 item 9: the official record is the
+suite JSON with median-of-5 timing, so one tunnel-noise spike can't swing the
+headline +-15%): forward entries (Cooke mono/3-λ, AsphericSinglet,
+DoubleGauss mono/3-λ, Hubble, tilted singlet, Chebyshev + Zernike freeforms,
+Fresnel concentrator [BASELINE config #4], polarized+coated double-Gauss
+[config #2, XLA path — recorded honestly], XLA fallback) plus GRADIENT
+entries (4M-ray RMS-spot merit value_and_grad through the custom_vjp Pallas
+kernel, and the XLA AD path for comparison). Writes BENCH_SUITE.json and
+prints the Cooke headline last. ``--headline`` runs only the Cooke entry.
 
 - metric unit: ray-surfaces per second per chip (the reference's headline,
   README.md:120 "150M+ ray-surfaces/s" on GPU).
 - vs_baseline: value / 150e6.
-
-Run on the TPU chip by default; falls back to the XLA path if no TPU.
 """
 from __future__ import annotations
 
@@ -41,6 +43,16 @@ def _f32_params(params):
     return jax.tree_util.tree_map(
         lambda a: jnp.asarray(a, jnp.float32)
         if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, params)
+
+
+def _load_example(name):
+    import importlib.util
+    import pathlib
+    p = pathlib.Path(__file__).resolve().parent / "examples" / f"{name}.py"
+    spec = importlib.util.spec_from_file_location(f"examples_{name}", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
 
 
 def _tilted_singlet():
@@ -81,14 +93,41 @@ def _chebyshev_freeform():
     return lens
 
 
-def _time_best(fn, *args, reps=10, rounds=3):
-    from optiland_pr_tpu.utils import time_best
-    return time_best(fn, *args, reps=reps, rounds=rounds)
+def _zernike_freeform():
+    import jax.numpy as jnp
+    from optiland_pr_tpu.system.optic import Optic
+    lens = Optic(name="zernike freeform singlet")
+    lens.add_surface(index=0, radius=jnp.inf, thickness=jnp.inf)
+    lens.add_surface(index=1, radius=60.0, conic=-0.2, thickness=7.0,
+                     material="N-BK7", is_stop=True, surface_type="zernike",
+                     zernike_type="standard", norm_radius=10.0,
+                     coefficients=[0.0, 2e-4, -1e-4, 5e-4, 3e-4, -2e-4,
+                                   1e-4, 5e-5])
+    lens.add_surface(index=2, radius=-320.0, thickness=92.0)
+    lens.add_surface(index=3)
+    lens.set_aperture(aperture_type="EPD", value=16.0)
+    lens.set_field_type(field_type="angle")
+    lens.add_field(y=0)
+    lens.add_wavelength(value=0.55, is_primary=True)
+    return lens
+
+
+def _fresnel_concentrator():
+    return _load_example("fresnel_concentrator").build_concentrator("zoned")
+
+
+def _polarized_double_gauss():
+    return _load_example("double_gauss_polarized").build()
+
+
+def _time(fn, *args, reps=10, rounds=5):
+    from optiland_pr_tpu.utils import time_median
+    return time_median(fn, *args, reps=reps, rounds=rounds)
 
 
 def bench_system(name, build, wavelength, n_rays=N_RAYS, engine="auto"):
-    """One benchmark entry: fused Pallas gen+trace+image-prop when supported
-    (and a TPU is present), else the XLA pipeline."""
+    """One forward benchmark entry: fused Pallas gen+trace+image-prop when
+    supported (and a TPU is present), else the XLA pipeline."""
     import jax
     import jax.numpy as jnp
     from optiland_pr_tpu.kernels import (pallas_gen_trace_conic,
@@ -110,6 +149,7 @@ def bench_system(name, build, wavelength, n_rays=N_RAYS, engine="auto"):
     use_pallas = engine != "xla" and supports_model(model) and on_tpu \
         and model.field_type == "angle" and model._object_infinite
     flags = model_flags(model, params) if use_pallas else None
+    polarized = model.polarization != "ignore"
 
     @jax.jit
     def step(params, Px, Py):
@@ -118,20 +158,15 @@ def bench_system(name, build, wavelength, n_rays=N_RAYS, engine="auto"):
                                           flags=flags, final_prop=True)
         else:
             def one(w):
-                rays = generate_rays(model, params, zeros, zeros, Px, Py, w)
-                rays, _ = real_trace.trace_system(model, params, rays,
-                                                  wl_scalar=w)
-                return real_trace._final_image_propagation(model, params,
-                                                           rays)
+                return real_trace.trace(model, params, 0.0, 0.0, w, Px, Py)
             if wl.ndim == 0:
                 rays = one(wl)
             else:
-                import jax as _jax
-                rays = _jax.vmap(one)(wl)
+                rays = jax.vmap(one)(wl)
         return (jnp.sum(rays.x) + jnp.sum(rays.y) + jnp.sum(rays.opd)
                 + jnp.sum(rays.intensity))
 
-    dt_s = _time_best(step, params, Px, Py)
+    dt_s = _time(step, params, Px, Py)
     n_surf = model.num_surfaces - 1  # object surface is a no-op
     ray_surfaces_per_s = n_rays * n_wl * n_surf / dt_s
     return {
@@ -143,6 +178,49 @@ def bench_system(name, build, wavelength, n_rays=N_RAYS, engine="auto"):
         "rays_per_s": float(n_rays * n_wl / dt_s),
         "n_rays": n_rays, "n_wavelengths": n_wl, "n_surfaces": n_surf,
         "engine": "pallas" if use_pallas else "xla",
+        "polarized": polarized,
+    }
+
+
+def bench_grad(name, build, wavelength, n_rays, engine):
+    """Gradient benchmark: value_and_grad of a masked RMS-spot merit over the
+    full parameter pytree (VERDICT r2 item 1 'Done' gate: >=5e8
+    rays/s-equivalent through the differentiable Pallas path on a 4M-ray
+    merit)."""
+    import jax
+    import jax.numpy as jnp
+    from optiland_pr_tpu.trace.engine import final_rays
+
+    lens = build()
+    model, params = lens.build()
+    params = _f32_params(params)
+    Px, Py = _pupil(n_rays, jnp.float32)
+
+    def merit(p):
+        rays = final_rays(model, p, 0.0, 0.7, wavelength, Px, Py,
+                          final_prop=True, engine=engine)
+        x, y = rays.x, rays.y
+        ok = jnp.isfinite(x) & jnp.isfinite(y)
+        w = ok.astype(x.dtype)
+        ws = jnp.maximum(jnp.sum(w), 1.0)
+        xs = jnp.where(ok, x, 0.0)
+        ys = jnp.where(ok, y, 0.0)
+        mx = jnp.sum(xs * w) / ws
+        my = jnp.sum(ys * w) / ws
+        return jnp.sqrt(jnp.sum(jnp.where(ok, (xs - mx) ** 2
+                                          + (ys - my) ** 2, 0.0)) / ws)
+
+    vg = jax.jit(jax.value_and_grad(merit))
+    dt_s = _time(vg, params, reps=5, rounds=5)
+    n_surf = model.num_surfaces - 1
+    return {
+        "metric": f"grad_rays_per_s_{name}",
+        "value": float(n_rays / dt_s),
+        "unit": "rays/s per value_and_grad step",
+        "vs_baseline": float(n_rays / dt_s / 1e9),
+        "grad_steps_per_s": float(1.0 / dt_s),
+        "ray_surfaces_per_s": float(n_rays * n_surf / dt_s),
+        "n_rays": n_rays, "n_surfaces": n_surf, "engine": engine,
     }
 
 
@@ -159,29 +237,51 @@ def suite():
         ("hubble_obscured", HubbleTelescope, 0.55, N_RAYS, "auto"),
         ("tilted_singlet", _tilted_singlet, 0.55, N_RAYS, "auto"),
         ("chebyshev_freeform", _chebyshev_freeform, 0.55, N_RAYS, "auto"),
+        ("zernike_freeform", _zernike_freeform, 0.55, N_RAYS, "auto"),
+        ("fresnel_concentrator", _fresnel_concentrator, 0.55, N_RAYS,
+         "auto"),
+        ("double_gauss_polarized", _polarized_double_gauss, 0.5876,
+         1_000_000, "auto"),   # polarized -> XLA today; recorded honestly
         ("cooke_triplet_xla", CookeTriplet, 0.55, 1_000_000, "xla"),
     ]
     results = []
+    headline = None
     for name, build, wl, n, engine in entries:
         res = bench_system(name, build, wl, n_rays=n, engine=engine)
         print(json.dumps(res), flush=True)
         results.append(res)
+        if name == "cooke_triplet":
+            headline = res
+
+    import jax
+    grad_engine = "auto" if jax.devices()[0].platform != "cpu" else "xla"
+    grad_entries = [
+        ("cooke_pallas", grad_engine, N_RAYS),
+        ("cooke_xla", "xla", 500_000),
+    ]
+    from optiland_pr_tpu.samples import CookeTriplet as _CT
+    for gname, gengine, gn in grad_entries:
+        res = bench_grad(gname, _CT, 0.55, gn, gengine)
+        print(json.dumps(res), flush=True)
+        results.append(res)
+
     with open("BENCH_SUITE.json", "w") as f:
         json.dump(results, f, indent=1)
-    return results
+    return results, headline
 
 
 def main():
-    if "--suite" in sys.argv:
-        suite()
-        return
-    from optiland_pr_tpu.samples import CookeTriplet
-    res = bench_system("cooke_triplet", CookeTriplet, 0.55)
+    if "--headline" in sys.argv:
+        from optiland_pr_tpu.samples import CookeTriplet
+        res = bench_system("cooke_triplet", CookeTriplet, 0.55)
+        headline = res
+    else:
+        _, headline = suite()
     print(json.dumps({
-        "metric": res["metric"],
-        "value": res["value"],
-        "unit": res["unit"],
-        "vs_baseline": res["vs_baseline"],
+        "metric": headline["metric"],
+        "value": headline["value"],
+        "unit": headline["unit"],
+        "vs_baseline": headline["vs_baseline"],
     }))
 
 

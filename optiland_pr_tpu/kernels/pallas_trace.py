@@ -55,16 +55,21 @@ _CONST_W = 32  # per-surface constant row width (lane-friendly)
 _NEWTON_ITERS = 8  # fixed in-kernel Newton refinements for aspheres
 
 
+_SUPPORTED_KINDS = ("standard", "plane", "even_asphere", "odd_asphere",
+                    "polynomial_xy", "chebyshev", "biconic", "toroidal",
+                    "zernike", "forbes_qbfs", "forbes_q2d", "fresnel_zone",
+                    "fresnel_designed")
+
+
 def supports_model(model: OpticModel) -> bool:
     """True if every inner surface is a conic/plane/asphere/XY-polynomial/
-    Chebyshev/biconic/toroidal refract/reflect surface whose extras the
-    kernel can fuse: tilt/decenter, radial or offset-radial apertures,
-    scalar (simple) coatings. BSDFs, polarization-dependent coatings, GRIN
-    media and non-refractive interactions stay on the XLA path."""
+    Chebyshev/Zernike/Forbes/Fresnel/biconic/toroidal refract/reflect surface
+    whose extras the kernel can fuse: tilt/decenter, radial or offset-radial
+    apertures, scalar (simple) coatings. BSDFs, polarization-dependent
+    coatings, GRIN media and non-refractive interactions stay on the XLA
+    path."""
     for spec in model.surfaces[1:]:
-        if spec.geometry.kind not in ("standard", "plane", "even_asphere",
-                                      "odd_asphere", "polynomial_xy",
-                                      "chebyshev", "biconic", "toroidal"):
+        if spec.geometry.kind not in _SUPPORTED_KINDS:
             return False
         if spec.interaction != "refract_reflect":
             return False
@@ -128,8 +133,12 @@ def _pack_rows(model: OpticModel, params, wavelength) -> jnp.ndarray:
 
         if spec.aperture is not None:
             ap = sp["aperture"]
-            rmin2 = ap["r_min"] ** 2
-            rmax2 = ap["r_max"] ** 2
+            # double-where: an unbounded r_max (inf) squared would put
+            # 0 * inf = NaN into the aperture-radius cotangent
+            rmn, rmx = ap["r_min"], ap["r_max"]
+            fmn, fmx = jnp.isfinite(rmn), jnp.isfinite(rmx)
+            rmin2 = jnp.where(fmn, jnp.where(fmn, rmn, 1.0) ** 2, jnp.inf)
+            rmax2 = jnp.where(fmx, jnp.where(fmx, rmx, 1.0) ** 2, jnp.inf)
             aox = ap.get("offset_x", jnp.asarray(0.0))
             aoy = ap.get("offset_y", jnp.asarray(0.0))
         else:
@@ -151,6 +160,11 @@ def _pack_rows(model: OpticModel, params, wavelength) -> jnp.ndarray:
         elif gk == "toroidal":
             rr = sp["geom"]["radius_rot"]
             gx24 = jnp.where(jnp.isinf(rr), 1.0, rr)
+        elif gk in ("zernike", "forbes_qbfs", "forbes_q2d"):
+            gx24 = sp["geom"]["norm_radius"]
+        elif gk == "fresnel_designed":
+            gx24 = sp["geom"]["focal_length"]
+            gx25 = sp["geom"]["n_design"]
 
         head = jnp.stack([
             jnp.reshape(radius_inv, ()), jnp.reshape(conic, ()),
@@ -179,7 +193,12 @@ def pack_surface_constants(model: OpticModel, params, wavelength) -> jnp.ndarray
 
 def _geom_coeff_vector(spec, gp):
     """Flattened per-surface geometry coefficient vector for the kernel, or
-    None for coefficient-free kinds (conic/plane/biconic)."""
+    None for coefficient-free kinds (conic/plane/biconic/fresnel).
+
+    Forbes coefficients are pre-multiplied through the (static, linear)
+    Qbfs/Q2D basis-change matrices here — outside the kernel — so the
+    in-kernel Clenshaw works directly on the Pn/Pnm expansion; the map is
+    differentiable, so coefficient gradients ride through it."""
     gk = spec.geometry.kind
     if gk in ("even_asphere", "odd_asphere") and spec.geometry.num_terms:
         return jnp.asarray(gp["coefficients"], jnp.float32)
@@ -187,7 +206,38 @@ def _geom_coeff_vector(spec, gp):
         return jnp.asarray(gp["coefficients"], jnp.float32).reshape(-1)
     if gk == "toroidal" and spec.geometry.num_terms:
         return jnp.asarray(gp["coeffs_poly_y"], jnp.float32)
+    if gk == "zernike" and spec.geometry.num_terms:
+        return jnp.asarray(gp["coefficients"], jnp.float32)
+    if gk == "forbes_qbfs" and spec.geometry.num_terms:
+        from ..geometry.forbes import qbfs_basis_matrix
+        M = jnp.asarray(qbfs_basis_matrix(spec.geometry.num_terms),
+                        jnp.float32)
+        c = jnp.asarray(gp["coefficients"], jnp.float32)
+        return M @ c[: spec.geometry.num_terms]
+    if gk == "forbes_q2d" and spec.geometry.terms:
+        return _q2d_packed_coeffs(spec.geometry, gp)
     return None
+
+
+def _q2d_packed_coeffs(geom, gp):
+    """Concatenated basis-changed Q2D coefficient groups:
+    [bs_m0 | ds_a(m=1) | ds_b(m=1) | ... | ds_a(max_m) | ds_b(max_m)],
+    the layout the kernel reconstructs statically from the terms tuple."""
+    from ..geometry.forbes import qbfs_basis_matrix, q2d_basis_matrix
+    c = jnp.asarray(gp["coefficients"], jnp.float32)
+    cm0, ams, bms = geom._grouped(c)
+    parts = []
+    if cm0:
+        Mb = jnp.asarray(qbfs_basis_matrix(len(cm0)), jnp.float32)
+        parts.append(Mb @ jnp.stack(cm0))
+    for m in range(1, geom.max_m + 1):
+        for coefs in (ams[m], bms[m]):
+            if coefs:
+                Mq = jnp.asarray(q2d_basis_matrix(len(coefs), m), jnp.float32)
+                parts.append(Mq @ jnp.stack(coefs))
+    if not parts:
+        return None
+    return jnp.concatenate(parts)
 
 
 def pack_asphere_coeffs(model: OpticModel, params) -> jnp.ndarray:
@@ -273,7 +323,238 @@ def _axis_conic(cv, k, v):
     return s, cv * v / sq
 
 
-def _freeform_sag_grad(gkind: str, nu: int, nv: int, c, acoef, xx, yy):
+def _cos_sin_multiples(cost, sint, max_m: int):
+    """cos(m*phi), sin(m*phi) for m = 0..max_m via the Chebyshev multiple-
+    angle recurrence on (cos, sin) — no arctan2/cos/sin transcendentals in
+    the kernel (algebraically exact vs the reference's cos(m*arctan2))."""
+    cs = [jnp.ones_like(cost), cost]
+    sn = [jnp.zeros_like(sint), sint]
+    for m in range(2, max_m + 1):
+        cs.append(2.0 * cost * cs[m - 1] - cs[m - 2])
+        sn.append(2.0 * cost * sn[m - 1] - sn[m - 2])
+    return cs[: max_m + 1], sn[: max_m + 1]
+
+
+def _zernike_sag_grad(c, acoef, nu: int, ztype: str, xx, yy):
+    """conic + sum c_i Z_i(rho/nr, phi): geometry/extras.py ZernikeSag
+    (reference geometries/zernike.py:55-200), with static (n, m) term lists
+    and radial-coefficient tables unrolled in the kernel."""
+    from ..core.zernike import _norm_factor, _radial_coeffs, zernike_terms
+
+    s, gx, gy = _conic_base(c[0], c[1], xx, yy)
+    if nu == 0:
+        return s, gx, gy
+    nr = c[24]
+    r2 = xx * xx + yy * yy
+    r = jnp.sqrt(r2)
+    r_safe = jnp.maximum(r, 1e-12)
+    rho = r / nr
+    cost = xx / r_safe
+    sint = yy / r_safe
+    terms = zernike_terms(ztype, nu)
+    max_n = max(n for n, m in terms)
+    max_m = max((abs(m) for n, m in terms), default=0)
+    # rho powers 0..max_n
+    rp = [jnp.ones_like(rho)]
+    for _ in range(max_n):
+        rp.append(rp[-1] * rho)
+    cs, sn = _cos_sin_multiples(cost, sint, max_m)
+    dz_drho = jnp.zeros_like(rho)
+    dz_dphi = jnp.zeros_like(rho)
+    for j, (n, m) in enumerate(terms):
+        norm = _norm_factor(ztype, n, m)
+        Rnm = jnp.zeros_like(rho)
+        dR = jnp.zeros_like(rho)
+        for p, coef in _radial_coeffs(n, m):
+            Rnm = Rnm + coef * rp[p]
+            if p > 0:
+                dR = dR + float(p) * coef * rp[p - 1]
+        if m > 0:
+            ang, dang = cs[m], -float(m) * sn[m]
+        elif m < 0:
+            ang, dang = sn[-m], float(-m) * cs[-m]
+        else:
+            ang, dang = 1.0, 0.0
+        cj = acoef[j] * norm
+        s = s + cj * Rnm * ang
+        dz_drho = dz_drho + cj * dR * ang
+        dz_dphi = dz_dphi + cj * Rnm * dang
+    inv_rs = 1.0 / r_safe
+    gx = gx + dz_drho * xx * inv_rs / nr - dz_dphi * yy * inv_rs * inv_rs
+    gy = gy + dz_drho * yy * inv_rs / nr + dz_dphi * xx * inv_rs * inv_rs
+    return s, gx, gy
+
+
+def _forbes_sigma(c, r2, rho):
+    """sigma^-1 projection factor + rho-derivative in curvature form
+    (geometry/forbes.py _conic_correction; c2 = radius_inv^2 makes the
+    plane case exact with no branch)."""
+    c2 = c[0] * c[0]
+    k = c[1]
+    num_arg = 1.0 - k * c2 * r2
+    den_arg = 1.0 - (k + 1.0) * c2 * r2
+    Nf = jnp.sqrt(jnp.where(num_arg > 0, num_arg, 1e-12))
+    Df = jnp.sqrt(jnp.where(den_arg > 0, den_arg, 1e-12))
+    factor = Nf / Df
+    deriv = (c2 * rho) / (Nf * Df * Df * Df)
+    return factor, deriv
+
+
+def _qbfs_sag_grad(c, acoef, nu: int, xx, yy):
+    """Forbes Qbfs (geometry/forbes.py ForbesQbfs.sag/sag_grad); acoef holds
+    the PRE-basis-changed bs coefficients (see _geom_coeff_vector)."""
+    from ..geometry.forbes import _clenshaw_qbfs, _clenshaw_qbfs_der
+
+    r2 = xx * xx + yy * yy
+    z_base, bx, by = _conic_base(c[0], c[1], xx, yy)
+    if nu == 0:
+        return z_base, bx, by
+    nr = c[24]
+    rho = jnp.sqrt(r2 + 1e-12)
+    u = rho / nr
+    usq_sag = r2 / (nr * nr)      # sag uses r2/nr^2 (no eps), grad uses u^2
+    usq = u * u
+
+    bs_list = [acoef[i] for i in range(nu)]
+
+    def poly(us):
+        al0 = _clenshaw_qbfs(bs_list, us)
+        if nu > 1:
+            sm = 2.0 * (al0[0] + al0[1])
+            a1 = _clenshaw_qbfs_der(bs_list, us, al0)
+            dsm = 2.0 * (a1[0] + a1[1])
+        else:
+            sm = 2.0 * al0[0]
+            dsm = jnp.zeros_like(us)
+        return sm, dsm
+
+    poly_s, _ = poly(usq_sag)
+    factor_s, _ = _forbes_sigma(c, r2, rho)
+    departure = usq_sag * (1.0 - usq_sag) * factor_s * poly_s
+    s = z_base + jnp.where(usq_sag > 1, 0.0, departure)
+
+    poly_g, dpoly_dusq = poly(usq)
+    ds_du = dpoly_dusq * 2.0 * u
+    factor, dfactor_drho = _forbes_sigma(c, r2, rho)
+    dpref_drho = (2.0 * u - 4.0 * u * usq) / nr
+    dpoly_drho = ds_du / nr
+    dS = (dpref_drho * factor * poly_g
+          + (usq - usq * usq) * dfactor_drho * poly_g
+          + (usq - usq * usq) * factor * dpoly_drho)
+    dS = jnp.where(u >= 1, 0.0, dS)
+    inv_rho = 1.0 / rho
+    return s, bx + dS * xx * inv_rho, by + dS * yy * inv_rho
+
+
+def _q2d_layout(terms: tuple):
+    """(n_m0, len_a, len_b) static grouping of a Q2D terms tuple (mirrors
+    geometry/forbes.py ForbesQ2d.__init__)."""
+    n_m0 = max([n for n, m in terms if m == 0], default=-1) + 1
+    max_m = max([abs(m) for n, m in terms if m != 0], default=0)
+    len_a = [0] * (max_m + 1)
+    len_b = [0] * (max_m + 1)
+    for n, m in terms:
+        if m > 0:
+            len_a[m] = max(len_a[m], n + 1)
+        elif m < 0:
+            len_b[-m] = max(len_b[-m], n + 1)
+    return n_m0, len_a, len_b
+
+
+def _q2d_sag_grad(c, acoef, terms: tuple, xx, yy):
+    """Forbes Q2D freeform (geometry/forbes.py ForbesQ2d); acoef holds the
+    concatenated pre-basis-changed groups (_q2d_packed_coeffs layout)."""
+    from ..geometry.forbes import (_clenshaw_q2d, _clenshaw_q2d_der,
+                                   _clenshaw_qbfs, _clenshaw_qbfs_der,
+                                   _q2d_sum)
+
+    n_m0, len_a, len_b = _q2d_layout(terms)
+    max_m = len(len_a) - 1
+
+    r2 = xx * xx + yy * yy
+    z_base, bx, by = _conic_base(c[0], c[1], xx, yy)
+    nr = c[24]
+    rho = jnp.sqrt(r2 + 1e-12)
+    u = rho / nr
+    usq = u * u
+    # theta = arctan2(y, x') with the reference's center tweak; only
+    # cos/sin(m*theta) are needed, built by recurrence
+    small = rho < 1e-12
+    xprime = jnp.where(small, xx + 1e-12, xx)
+    rho2 = jnp.sqrt(xprime * xprime + yy * yy)
+    cost = xprime / rho2
+    sint = yy / rho2
+    cs, sn = _cos_sin_multiples(cost, sint, max_m)
+
+    zero = jnp.zeros_like(u)
+    off = 0
+    # m = 0 part (Qbfs machinery)
+    if n_m0:
+        bs_list = [acoef[off + i] for i in range(n_m0)]
+        off += n_m0
+        al0 = _clenshaw_qbfs(bs_list, usq)
+        if n_m0 > 1:
+            s_m0 = 2.0 * (al0[0] + al0[1])
+            a1 = _clenshaw_qbfs_der(bs_list, usq, al0)
+            ds_dusq = 2.0 * (a1[0] + a1[1])
+        else:
+            s_m0 = 2.0 * al0[0]
+            ds_dusq = zero
+        d_m0_du = ds_dusq * 2.0 * u
+    else:
+        s_m0, d_m0_du = zero, zero
+
+    # u powers up to max_m
+    up = [jnp.ones_like(u)]
+    for _ in range(max_m):
+        up.append(up[-1] * u)
+
+    poly_mgt0 = zero
+    dr_mgt0 = zero
+    dt_mgt0 = zero
+    for m in range(1, max_m + 1):
+        s_a = s_b = sp_a = sp_b = zero
+        for ln, is_a in ((len_a[m], True), (len_b[m], False)):
+            if not ln:
+                continue
+            ds_list = [acoef[off + i] for i in range(ln)]
+            off += ln
+            al0 = _clenshaw_q2d(ds_list, m, usq)
+            al1 = _clenshaw_q2d_der(ds_list, m, usq, al0)
+            sv = _q2d_sum(al0, m, ln)
+            spv = _q2d_sum(al1, m, ln)
+            if is_a:
+                s_a, sp_a = sv, spv
+            else:
+                s_b, sp_b = sv, spv
+        um = up[m]
+        umm1 = up[m - 1]
+        poly_mgt0 = poly_mgt0 + um * (cs[m] * s_a + sn[m] * s_b)
+        aterm = cs[m] * (2.0 * usq * sp_a + m * s_a)
+        bterm = sn[m] * (2.0 * usq * sp_b + m * s_b)
+        dr_mgt0 = dr_mgt0 + umm1 * (aterm + bterm)
+        dt_mgt0 = dt_mgt0 + m * um * (-s_a * sn[m] + s_b * cs[m])
+
+    factor, dfactor_drho = _forbes_sigma(c, r2, rho)
+    departure = usq * (1.0 - usq) * factor * s_m0 + factor * poly_mgt0
+    s = z_base + jnp.where(u > 1, 0.0, departure)
+
+    dpref_drho = (2.0 * u - 4.0 * u * usq) / nr
+    dpoly_drho = d_m0_du / nr
+    dS0 = (dpref_drho * factor * s_m0
+           + (usq - usq * usq) * dfactor_drho * s_m0
+           + (usq - usq * usq) * factor * dpoly_drho)
+    dSg = dfactor_drho * poly_mgt0 + factor * dr_mgt0 / nr
+    dS_drho = jnp.where(u >= 1, 0.0, dS0 + dSg)
+    dS_dtheta = jnp.where(u >= 1, 0.0, factor * dt_mgt0)
+    inv_rho = 1.0 / rho
+    gx = bx + dS_drho * xx * inv_rho - dS_dtheta * yy * inv_rho * inv_rho
+    gy = by + dS_drho * yy * inv_rho + dS_dtheta * xx * inv_rho * inv_rho
+    return s, gx, gy
+
+
+def _freeform_sag_grad(gkind: str, nu: int, nv: int, c, acoef, xx, yy,
+                       gextra=None):
     """Static per-kind sag + gradient dispatch for the in-kernel Newton
     solve and exit normal. Mirrors geometry/aspheres.py exactly (including
     the Chebyshev missing-1/norm derivative quirk)."""
@@ -367,19 +648,34 @@ def _freeform_sag_grad(gkind: str, nu: int, nv: int, c, acoef, xx, yy):
         gx = jnp.where(ok, sgnR * xx * inv_root, 0.0)
         gyt = jnp.where(ok, sgnR * dz * dzy * inv_root, 0.0)
         return s, gx, gyt
+    if gkind == "zernike":
+        return _zernike_sag_grad(c, acoef, nu, gextra, xx, yy)
+    if gkind == "qbfs":
+        return _qbfs_sag_grad(c, acoef, nu, xx, yy)
+    if gkind == "q2d":
+        return _q2d_sag_grad(c, acoef, gextra, xx, yy)
     raise ValueError(f"unknown kernel geometry kind {gkind!r}")
 
 
-def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
-                  is_refl: bool, absorbing: bool, acoef=None,
+def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None, *,
+                  is_plane: bool, is_refl: bool, absorbing: bool, acoef=None,
                   gkind: str = "conic", nu: int = 0, nv: int = 0,
                   has_cs: bool = False, has_ap: bool = False,
-                  has_coat: bool = False):
+                  has_coat: bool = False, gextra=None):
     """One surface interaction; all elementwise VPU ops.
 
     is_plane/is_refl/absorbing/has_cs/has_ap/has_coat are STATIC (baked from
     the model at build): the unrolled loop emits only the ops each surface
     actually needs.
+
+    Lost rays (conic miss / TIR) are carried with FINITE placeholder state and
+    flagged in ``valid``; the caller injects NaN once at the end of the stack
+    (same discipline as trace/real.py — keeping every intermediate finite is
+    what keeps reverse-mode gradients NaN-free through lost rays).
+
+    ``opd_c``: optional Kahan compensation accumulator — when not None, OPD
+    accumulates with a compensated (two-sum) update so the f32 sum of large
+    path lengths keeps full precision (SURVEY §7 OPD-cancellation hard part).
 
     Op-count notes (this kernel is VPU-compute-bound, not HBM-bound):
     - reflection R = d - 2(d.n)n is invariant under n -> -n, so the
@@ -390,6 +686,8 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
     - the quadratic uses the half-b form (disc/4), saving the 2x/4x scales;
     - normals use one rsqrt instead of sqrt + guarded reciprocal.
     """
+    if valid is None:
+        valid = jnp.ones(x.shape, dtype=bool)
     radius_inv, conic, pos_z, n1, n2, alpha, coat = (
         c[0], c[1], c[2], c[3], c[4], c[5], c[6])
 
@@ -420,7 +718,11 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
     # 2. citardauq pairing: the near root is cc/q with q = -(bh + sign(bh)sq),
     #    stable when a -> 0 (near-parabolic mirrors make the quadratic
     #    degenerate: a = (k N^2 + 1)/R ~ 0 when k ~ -1). ----------------------
-    if is_plane:
+    fresnel = gkind in ("fresnel_zone", "fresnel_designed")
+    newton_geom = gkind != "conic" and not fresnel
+    if is_plane or fresnel:
+        # thin-Fresnel surfaces intersect at their base plane regardless of
+        # the (finite) parent radius (geometry/extras.py FresnelZoneSag)
         t = -z / N
     else:
         t0 = -z / N
@@ -439,27 +741,59 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
         t_near = cc / jnp.where(jnp.abs(q) > _EPS,
                                 q, jnp.where(q >= 0, _EPS, -_EPS))
         tq = jnp.where(jnp.abs(t_near) <= jnp.abs(t_far), t_near, t_far)
-        t = t0 + jnp.where(ok, tq, jnp.nan)
+        t = t0 + jnp.where(ok, tq, 0.0)
+        valid = valid & ok
 
-    if gkind != "conic":
+    if newton_geom:
         # ---- freeform: conic warm start + fixed Newton refinement
-        # (geometry/base.py newton_distance, statically unrolled) ----------
+        # (geometry/base.py newton_distance): the iteration runs on
+        # stop_gradient values, then ONE differentiable Newton step at the
+        # converged root recovers exact implicit-function-theorem gradients
+        # with O(1) AD residuals (no tape through the iterations). ----------
+        sg = jax.lax.stop_gradient
+        t_it = sg(t)
+        x_s, y_s, z_s = sg(x), sg(y), sg(z)
+        L_s, M_s, N_s = sg(L), sg(M), sg(N)
+        c_s = sg(c)
+        a_s = sg(acoef) if acoef is not None else None
         for _ in range(_NEWTON_ITERS):
-            xx = x + t * L
-            yy = y + t * M
-            zz = z + t * N
-            s, gx, gy = _freeform_sag_grad(gkind, nu, nv, c, acoef, xx, yy)
+            xx = x_s + t_it * L_s
+            yy = y_s + t_it * M_s
+            zz = z_s + t_it * N_s
+            s, gx, gy = _freeform_sag_grad(gkind, nu, nv, c_s, a_s, xx, yy,
+                                           gextra)
             f = s - zz
-            dfdt = gx * L + gy * M - N
+            dfdt = gx * L_s + gy * M_s - N_s
             dfdt = jnp.where(jnp.abs(dfdt) > _EPS, dfdt,
                              jnp.where(dfdt >= 0, _EPS, -_EPS))
-            t = t - f / dfdt
+            t_it = t_it - f / dfdt
+        # final differentiable step (primal unchanged to O(f^2); the
+        # tangent/cotangent is the exact IFT derivative -f_theta / f_t)
+        xx = x + t_it * L
+        yy = y + t_it * M
+        zz = z + t_it * N
+        s, gx, gy = _freeform_sag_grad(gkind, nu, nv, c, acoef, xx, yy,
+                                       gextra)
+        f = s - zz
+        dfdt = gx * L + gy * M - N
+        dfdt = jnp.where(jnp.abs(dfdt) > _EPS, dfdt,
+                         jnp.where(dfdt >= 0, _EPS, -_EPS))
+        t = t_it - f / dfdt
 
     # ---- propagate + OPD + absorption -----------------------------------
     x = x + t * L
     y = y + t * M
     z = z + t * N
-    opd = opd + jnp.abs(t * n1)
+    path = jnp.abs(t * n1)
+    if opd_c is None:
+        opd = opd + path
+    else:
+        # Kahan compensated accumulation (SURVEY §7): recovers the low-order
+        # bits the plain f32 sum of ~1e3-mm path lengths throws away
+        yk = path - opd_c
+        tk = opd + yk
+        opd_c = (tk - opd) - yk
+        opd = tk
     if absorbing:
         inten = inten * jnp.exp(-alpha * t * 1e3)
 
@@ -472,29 +806,41 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
         inside = (r2a >= c[20]) & (r2a <= c[21])
         inten = inten * inside.astype(inten.dtype)
 
-    if gkind != "conic":
-        # ---- freeform normal + refract/reflect ----------------------------
-        _, gx, gy = _freeform_sag_grad(gkind, nu, nv, c, acoef, x, y)
-        inv_mag = jax.lax.rsqrt(gx * gx + gy * gy + 1.0)
-        nx = gx * inv_mag
-        ny = gy * inv_mag
-        nz = -inv_mag
+    def _interact(nx, ny, nz, L, M, N, valid):
+        # refract/reflect, alignment-free (rays/real_rays.py:141-181)
         dot = L * nx + M * ny + N * nz
         if is_refl:
             two_dot = 2.0 * dot
-            L = L - two_dot * nx
-            M = M - two_dot * ny
-            N = N - two_dot * nz
-        else:
-            u = n1 / n2
-            disc_r = 1.0 - u * u * (1.0 - dot * dot)
-            ok_r = disc_r >= 0
-            root_r = jnp.where(ok_r, jnp.sqrt(jnp.where(ok_r, disc_r, 1.0)),
-                               jnp.nan)
-            w = jnp.sign(dot) * root_r - u * dot
-            L = u * L + nx * w
-            M = u * M + ny * w
-            N = u * N + nz * w
+            return (L - two_dot * nx, M - two_dot * ny, N - two_dot * nz,
+                    valid)
+        u = n1 / n2
+        disc_r = 1.0 - u * u * (1.0 - dot * dot)
+        ok_r = disc_r >= 0
+        root_r = jnp.sqrt(jnp.where(ok_r, disc_r, 1.0))
+        w = jnp.sign(dot) * root_r - u * dot
+        return (u * L + nx * w, u * M + ny * w, u * N + nz * w,
+                valid & ok_r)
+
+    if newton_geom:
+        # ---- freeform normal + refract/reflect ----------------------------
+        _, gx, gy = _freeform_sag_grad(gkind, nu, nv, c, acoef, x, y, gextra)
+        inv_mag = jax.lax.rsqrt(gx * gx + gy * gy + 1.0)
+        L, M, N, valid = _interact(gx * inv_mag, gy * inv_mag, -inv_mag,
+                                   L, M, N, valid)
+    elif gkind == "fresnel_designed":
+        # designed facet slope m = -sin/(n_design - cos), tan = r/f
+        # (geometry/extras.py FresnelDesignedSag._slope)
+        r2 = x * x + y * y
+        r = jnp.sqrt(r2)
+        r_safe = jnp.maximum(r, 1e-12)
+        f_len = c[24]
+        hyp = jnp.sqrt(r2 + f_len * f_len)
+        mslope = -(r / hyp) / (c[25] - f_len / hyp)
+        dfdx = mslope * x / r_safe
+        dfdy = mslope * y / r_safe
+        inv_mag = jax.lax.rsqrt(dfdx * dfdx + dfdy * dfdy + 1.0)
+        L, M, N, valid = _interact(dfdx * inv_mag, dfdy * inv_mag, -inv_mag,
+                                   L, M, N, valid)
     elif is_plane and is_refl:
         # flat mirror, normal (0, 0, -1): d -> d - 2(d.n)n flips N only
         N = -N
@@ -503,40 +849,23 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
         u = n1 / n2
         disc_r = 1.0 - u * u * (1.0 - N * N)
         ok_r = disc_r >= 0
-        root_r = jnp.where(ok_r, jnp.sqrt(jnp.where(ok_r, disc_r, 1.0)),
-                           jnp.nan)
+        root_r = jnp.sqrt(jnp.where(ok_r, disc_r, 1.0))
+        valid = valid & ok_r
         L = u * L
         M = u * M
         N = jnp.sign(N) * root_r
     else:
-        # ---- normal (dfdx = x * ci / sqrt(1-(1+k) ci^2 r^2)) -------------
+        # ---- conic normal (dfdx = x * ci / sqrt(1-(1+k) ci^2 r^2)); also
+        # the fresnel_zone parent-profile slope (extras.py FresnelZoneSag:
+        # the molded facets realize the parent conic's slope) ---------------
         r2 = x * x + y * y
         arg = 1.0 - (1.0 + conic) * radius_inv * radius_inv * r2
         inv_root = jax.lax.rsqrt(jnp.where(arg > _EPS, arg, 1.0))
         dfdx = x * radius_inv * inv_root
         dfdy = y * radius_inv * inv_root
         inv_mag = jax.lax.rsqrt(dfdx * dfdx + dfdy * dfdy + 1.0)
-        nx = dfdx * inv_mag
-        ny = dfdy * inv_mag
-        nz = -inv_mag
-
-        # ---- refract/reflect, alignment-free (rays/real_rays.py:141-181)
-        dot = L * nx + M * ny + N * nz
-        if is_refl:
-            two_dot = 2.0 * dot
-            L = L - two_dot * nx
-            M = M - two_dot * ny
-            N = N - two_dot * nz
-        else:
-            u = n1 / n2
-            disc_r = 1.0 - u * u * (1.0 - dot * dot)
-            ok_r = disc_r >= 0
-            root_r = jnp.where(ok_r, jnp.sqrt(jnp.where(ok_r, disc_r, 1.0)),
-                               jnp.nan)
-            w = jnp.sign(dot) * root_r - u * dot
-            L = u * L + nx * w
-            M = u * M + ny * w
-            N = u * N + nz * w
+        L, M, N, valid = _interact(dfdx * inv_mag, dfdy * inv_mag, -inv_mag,
+                                   L, M, N, valid)
 
     # ---- scalar coating intensity factor (system/coatings.py SimpleCoating,
     # applied post-interaction like trace/real.py:121-126) ------------------
@@ -554,15 +883,28 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, *, is_plane: bool,
         x, y, z, L, M, N = xg, yg, zg, Lg, Mg, Ng
     else:
         z = z + pos_z
-    return x, y, z, L, M, N, inten, opd
+    if opd_c is not None:
+        return x, y, z, L, M, N, inten, opd, valid, opd_c
+    return x, y, z, L, M, N, inten, opd, valid
 
 
 def _step_kwargs(flag):
     (is_plane, is_refl, absorbing, gkind, nu, nv, has_cs, has_ap,
-     has_coat) = flag
+     has_coat) = flag[:9]
+    gextra = flag[9] if len(flag) > 9 else None
     return dict(is_plane=is_plane, is_refl=is_refl, absorbing=absorbing,
                 gkind=gkind, nu=nu, nv=nv, has_cs=has_cs, has_ap=has_ap,
-                has_coat=has_coat)
+                has_coat=has_coat, gextra=gextra)
+
+
+def _nanify8(x, y, z, L, M, N, inten, opd, valid):
+    """Inject NaN into the kinematic state of lost rays ONCE at the end of
+    the stack (trace/real.py _nanify convention; intensity untouched). The
+    where transposes to a clean cotangent mask, so parameter gradients stay
+    finite through lost rays."""
+    def m(v):
+        return jnp.where(valid, v, jnp.nan)
+    return m(x), m(y), m(z), m(L), m(M), m(N), inten, m(opd)
 
 
 def _kernel(consts_ref, acoef_ref, x_ref, y_ref, z_ref, l_ref, m_ref, n_ref,
@@ -575,11 +917,15 @@ def _kernel(consts_ref, acoef_ref, x_ref, y_ref, z_ref, l_ref, m_ref, n_ref,
     N = n_ref[:]
     inten = i_ref[:]
     opd = o_ref[:]
+    valid = jnp.ones(x.shape, dtype=bool)
     for k, flag in enumerate(flags):
         c = consts_ref[k, :]
         a = acoef_ref[k, :]
-        x, y, z, L, M, N, inten, opd = _surface_step(
-            c, x, y, z, L, M, N, inten, opd, acoef=a, **_step_kwargs(flag))
+        x, y, z, L, M, N, inten, opd, valid = _surface_step(
+            c, x, y, z, L, M, N, inten, opd, valid, acoef=a,
+            **_step_kwargs(flag))
+    x, y, z, L, M, N, inten, opd = _nanify8(x, y, z, L, M, N, inten, opd,
+                                            valid)
     xo[:] = x
     yo[:] = y
     zo[:] = z
@@ -593,36 +939,58 @@ def _kernel(consts_ref, acoef_ref, x_ref, y_ref, z_ref, l_ref, m_ref, n_ref,
 _KERNEL_KINDS = {"standard": "conic", "plane": "conic",
                  "even_asphere": "even", "odd_asphere": "odd",
                  "polynomial_xy": "poly", "chebyshev": "cheb",
-                 "biconic": "biconic", "toroidal": "toroidal"}
+                 "biconic": "biconic", "toroidal": "toroidal",
+                 "zernike": "zernike", "forbes_qbfs": "qbfs",
+                 "forbes_q2d": "q2d", "fresnel_zone": "fresnel_zone",
+                 "fresnel_designed": "fresnel_designed"}
 
 
 def model_flags(model: OpticModel, params) -> tuple:
     """Static per-surface specialization flags:
     (is_plane, is_reflective, absorbing, gkind, nu, nv, has_cs, has_ap,
-    has_coat). ``gkind`` != "conic" selects the in-kernel Newton path with
-    the matching freeform sag; nu/nv are the static coefficient counts
-    (polynomial term count, or the XY/Chebyshev grid shape)."""
+    has_coat, gextra). ``gkind`` != "conic" selects the in-kernel Newton path
+    with the matching freeform sag; nu/nv are the static coefficient counts
+    (polynomial term count, or the XY/Chebyshev grid shape); ``gextra``
+    carries per-kind static structure (the Zernike basis name, the Forbes
+    Q2D (n, m) terms tuple)."""
+    def _concrete_isinf(v, default):
+        """Static inf check that stays safe under tracing (flags computed
+        inside a jitted merit): the conic math handles radius_inv == 0
+        exactly, so a tracer radius falls back to the general path."""
+        try:
+            return bool(np.isinf(np.asarray(v)))
+        except (jax.errors.TracerArrayConversionError,
+                jax.errors.ConcretizationTypeError):
+            return default
+
     flags = []
     for k in range(1, model.num_surfaces):
         spec = model.surfaces[k]
         sp = params["surfaces"][k]
-        is_plane = bool(np.isinf(np.asarray(sp["geom"].get("radius",
-                                                           np.inf))))
+        is_plane = _concrete_isinf(sp["geom"].get("radius", np.inf), False)
         pre = model.surfaces[k - 1]
         absorbing = model.surfaces[pre.material_src].material.absorbing
         gk = spec.geometry.kind
         gkind = _KERNEL_KINDS[gk]
         nu = nv = 0
+        gextra = None
         if gk in ("even_asphere", "odd_asphere", "toroidal"):
             nu = spec.geometry.num_terms
         elif gk in ("polynomial_xy", "chebyshev"):
             nu, nv = spec.geometry.num_x, spec.geometry.num_y
-        if gk == "toroidal" and bool(np.isinf(
-                np.asarray(sp["geom"]["radius_rot"]))):
+        elif gk in ("zernike", "forbes_qbfs"):
+            nu = spec.geometry.num_terms
+            if gk == "zernike":
+                gextra = spec.geometry.zernike_type
+        elif gk == "forbes_q2d":
+            gextra = spec.geometry.terms
+            nu = len(spec.geometry.terms)
+        if gk == "toroidal" and _concrete_isinf(sp["geom"]["radius_rot"],
+                                                False):
             gkind = "toroidal_inf"
         flags.append((is_plane, spec.is_reflective, absorbing, gkind, nu, nv,
                       spec.has_tilt_decenter, spec.aperture is not None,
-                      spec.coating is not None))
+                      spec.coating is not None, gextra))
     return tuple(flags)
 
 
@@ -653,32 +1021,29 @@ def _pallas_call_2d(consts, acoef, x, y, z, L, M, N, inten, opd,
     )(consts, acoef, x, y, z, L, M, N, inten, opd)
 
 
-def _gen_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
-                xo, yo, zo, lo, mo, no, io, oo, *, flags: tuple,
-                final_prop: bool = False):
-    """Fused ray-generation + trace: inputs are just the pupil samples.
+def _gen_pipeline(gen, c_all, a_all, Px, Py, *, flags: tuple,
+                  final_prop: bool = False, kahan: bool = False):
+    """Pure generation + trace pipeline over one monochromatic ray tile.
 
-    gen_ref row: [half_epd_vx, half_epd_vy, x_field, y_field, z0, epl, t_img]
-    (infinite-object angle-field aiming, reference rays/ray_generator.py:70-90).
-    With ``final_prop``, the post-image-surface propagation by the image
-    thickness (raytrace/real_ray_tracer.py:85-92) is fused in as well, so the
-    whole reference trace() pipeline is one kernel.
+    ``gen``: [8] vector [half_epd_vx, half_epd_vy, x_field, y_field, z0, epl,
+    t_img, 0] (infinite-object angle-field aiming, reference
+    rays/ray_generator.py:70-90). ``c_all``: [S, 32] per-surface constants;
+    ``a_all``: [S, C] geometry coefficients; Px/Py: pupil-sample tile.
 
-    consts_ref block is [1, S, 32]: the leading grid axis is the wavelength —
-    each block is monochromatic with its own per-surface constants.
+    Shared by the forward kernel and the backward (jax.vjp) kernel in
+    pallas_grad.py, so forward and reverse stay one code path. Returns the 8
+    final arrays with NaN injected for lost rays.
     """
-    Px = px_ref[:]
-    Py = py_ref[:]
-    half_epd_x = gen_ref[0, 0]
-    half_epd_y = gen_ref[0, 1]
-    x_field = gen_ref[0, 2]
-    y_field = gen_ref[0, 3]
-    z0s = gen_ref[0, 4]
-    epl = gen_ref[0, 5]
+    half_epd_x = gen[0]
+    half_epd_y = gen[1]
+    x_field = gen[2]
+    y_field = gen[3]
+    z0s = gen[4]
+    epl = gen[5]
 
     x = Px * half_epd_x + x_field
     y = Py * half_epd_y + y_field
-    z = jnp.full_like(Px, z0s)
+    z = jnp.full_like(Px, 1.0) * z0s
     x1 = Px * half_epd_x
     y1 = Py * half_epd_y
     dxr = x1 - x
@@ -690,17 +1055,39 @@ def _gen_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
     N = dzr * inv_mag
     inten = jnp.ones_like(Px)
     opd = jnp.zeros_like(Px)
+    opd_c = jnp.zeros_like(Px) if kahan else None
+    valid = jnp.ones(Px.shape, dtype=bool)
 
     for k, flag in enumerate(flags):
-        c = consts_ref[0, k, :]
-        a = acoef_ref[k, :]
-        x, y, z, L, M, N, inten, opd = _surface_step(
-            c, x, y, z, L, M, N, inten, opd, acoef=a, **_step_kwargs(flag))
+        out = _surface_step(
+            c_all[k, :], x, y, z, L, M, N, inten, opd, valid, opd_c,
+            acoef=a_all[k, :], **_step_kwargs(flag))
+        if kahan:
+            x, y, z, L, M, N, inten, opd, valid, opd_c = out
+        else:
+            x, y, z, L, M, N, inten, opd, valid = out
     if final_prop:
-        t_img = gen_ref[0, 6]
+        t_img = gen[6]
         x = x + t_img * L
         y = y + t_img * M
         z = z + t_img * N
+    return _nanify8(x, y, z, L, M, N, inten, opd, valid)
+
+
+def _gen_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
+                xo, yo, zo, lo, mo, no, io, oo, *, flags: tuple,
+                final_prop: bool = False, kahan: bool = False):
+    """Fused ray-generation + trace: inputs are just the pupil samples.
+    With ``final_prop``, the post-image-surface propagation by the image
+    thickness (raytrace/real_ray_tracer.py:85-92) is fused in as well, so the
+    whole reference trace() pipeline is one kernel.
+
+    consts_ref block is [1, S, 32]: the leading grid axis is the wavelength —
+    each block is monochromatic with its own per-surface constants.
+    """
+    x, y, z, L, M, N, inten, opd = _gen_pipeline(
+        gen_ref[0, :], consts_ref[0], acoef_ref[:], px_ref[:], py_ref[:],
+        flags=flags, final_prop=final_prop, kahan=kahan)
     xo[0, :, :] = x
     yo[0, :, :] = y
     zo[0, :, :] = z
@@ -712,10 +1099,11 @@ def _gen_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
 
 
 @functools.partial(jax.jit, static_argnames=("flags", "block_rows",
-                                             "final_prop", "interpret"))
+                                             "final_prop", "interpret",
+                                             "kahan"))
 def _pallas_gen_trace_2d(gen, consts, acoef, Px, Py, flags: tuple,
                          block_rows: int, final_prop: bool = False,
-                         interpret: bool = False):
+                         interpret: bool = False, kahan: bool = False):
     """Grid is (W, ray blocks): axis 0 selects the per-wavelength constant
     set; every block reuses the same pupil samples (the reference traces the
     same pupil distribution per wavelength)."""
@@ -739,7 +1127,7 @@ def _pallas_gen_trace_2d(gen, consts, acoef, Px, Py, flags: tuple,
                               memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((W, rows, lanes), Px.dtype)] * 8
     kernel = functools.partial(_gen_kernel, flags=flags,
-                               final_prop=final_prop)
+                               final_prop=final_prop, kahan=kahan)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -754,7 +1142,8 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
                            Hx: float = 0.0, Hy: float = 0.0,
                            block_rows: int = 128, flags: tuple | None = None,
                            final_prop: bool = False,
-                           interpret: bool = False):
+                           interpret: bool = False, kahan: bool = False,
+                           differentiable: bool = False):
     """Fused generation + trace for infinite-object angle-field systems: the
     kernel's only array inputs are the normalized pupil samples (8 bytes/ray
     HBM read), everything else lives in VMEM. ``final_prop`` fuses the
@@ -764,6 +1153,11 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
     array of W wavelengths traces the same pupil samples at every wavelength
     in one kernel launch (grid axis) and returns W*len(Px) rays ordered
     wavelength-major.
+
+    ``kahan``: compensated OPD accumulation (SURVEY §7 f32 hard part).
+    ``differentiable``: route through the custom_vjp core (pallas_grad.py) so
+    jax.grad of any function of the returned rays runs a fused Pallas
+    backward kernel instead of falling back to (or failing on) XLA AD.
     """
     from ..trace.paraxial import Paraxial
     from ..core.rays import Rays
@@ -776,20 +1170,27 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
     wls = jnp.atleast_1d(wl)
     consts = pack_surface_constants(model, params, wls)  # [W, S-1, 32]
 
+    from ..trace.raygen import _field_norms, vig_factor
+
     par = Paraxial(model, params)
     pos = positions_from_params(params)
     EPL = par.EPL()
     EPD = par.EPD()
     offset = EPD - jnp.min(pos[1:-1])
     fields = params["fields"]
-    max_field = jnp.max(jnp.sqrt(jnp.sum(fields**2, axis=1)))
+    max_field = jnp.max(_field_norms(fields))
     fx = jnp.deg2rad(max_field * Hx)
     fy = jnp.deg2rad(max_field * Hy)
     xf = -jnp.tan(fx) * (offset + EPL)
     yf = -jnp.tan(fy) * (offset + EPL)
     z0s = pos[1] - offset
     t_img = jnp.reshape(params["surfaces"][-1]["thickness"], ())
-    gen = jnp.stack([EPD / 2, EPD / 2, xf, yf, z0s, EPL,
+    # vignetting scales the pupil samples (raygen.generate_rays: Px *= 1-vx);
+    # eligibility pins vig to 0 numerically, but folding it into the half-EPD
+    # keeps d(merit)/d(vig) exact instead of silently zero
+    vxf, vyf = vig_factor(model, params, Hx, Hy)
+    gen = jnp.stack([EPD / 2 * (1.0 - jnp.reshape(vxf, ())),
+                     EPD / 2 * (1.0 - jnp.reshape(vyf, ())), xf, yf, z0s, EPL,
                      t_img, jnp.zeros(())]).astype(jnp.float32)
     gen = gen.reshape(1, 8)
 
@@ -805,9 +1206,15 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
         return a.reshape(rows, lanes)
 
     acoef = pack_asphere_coeffs(model, params)
-    out = _pallas_gen_trace_2d(gen, consts, acoef, shape(Px), shape(Py),
-                               flags=flags, block_rows=block_rows,
-                               final_prop=final_prop, interpret=interpret)
+    if differentiable:
+        from .pallas_grad import diff_gen_trace
+        core = diff_gen_trace(flags, block_rows, final_prop, interpret, kahan)
+        out = core(gen, consts, acoef, shape(Px), shape(Py))
+    else:
+        out = _pallas_gen_trace_2d(gen, consts, acoef, shape(Px), shape(Py),
+                                   flags=flags, block_rows=block_rows,
+                                   final_prop=final_prop, interpret=interpret,
+                                   kahan=kahan)
     W = wls.shape[0]
     x, y, z, L, M, N, inten, opd = [
         o.reshape(W, -1)[:, :n] for o in out]

@@ -76,26 +76,47 @@ def _direction(coord):
 
 def rms_spot_size(model, params, surface_number, Hx, Hy, num_rays, wavelength,
                   distribution="hexapolar", **kw):
-    """(reference optimization/operand/ray.py:300-341)."""
+    """(reference optimization/operand/ray.py:300-341).
+
+    Image-surface evaluations (the overwhelmingly common merit form) go
+    through trace/engine.py ``final_rays`` — the fused differentiable Pallas
+    kernel when eligible — instead of the recorded-history XLA trace.
+    """
+    from ..trace.engine import final_rays
     Px, Py = generate_distribution(distribution, num_rays)
+    at_image = surface_number in (-1, model.num_surfaces - 1)
     if wavelength == "all":
-        xs, ys = [], []
         wavelengths = [float(w) for w in params["wavelengths"]]
-        for wl in wavelengths:
-            _, hist = real_trace.trace(model, params, Hx, Hy, wl, Px, Py,
-                                       record=True)
-            xs.append(hist.x[surface_number].ravel())
-            ys.append(hist.y[surface_number].ravel())
+        if at_image:
+            rays = final_rays(model, params, Hx, Hy,
+                              jnp.asarray(wavelengths), Px, Py,
+                              final_prop=False)
+            n = Px.shape[0]
+            xs = [rays.x[i * n:(i + 1) * n] for i in range(len(wavelengths))]
+            ys = [rays.y[i * n:(i + 1) * n] for i in range(len(wavelengths))]
+        else:
+            xs, ys = [], []
+            for wl in wavelengths:
+                _, hist = real_trace.trace(model, params, Hx, Hy, wl, Px, Py,
+                                           record=True)
+                xs.append(hist.x[surface_number].ravel())
+                ys.append(hist.y[surface_number].ravel())
         wi = model.primary_wavelength_idx
         mean_x = jnp.mean(xs[wi])
         mean_y = jnp.mean(ys[wi])
         r2 = jnp.concatenate([(x - mean_x) ** 2 + (y - mean_y) ** 2
                               for x, y in zip(xs, ys)])
         return jnp.sqrt(jnp.mean(r2))
-    _, hist = real_trace.trace(model, params, Hx, Hy, wavelength, Px, Py,
-                               record=True)
-    x = hist.x[surface_number].ravel()
-    y = hist.y[surface_number].ravel()
+    if at_image:
+        rays = final_rays(model, params, Hx, Hy, wavelength, Px, Py,
+                          final_prop=False)
+        x = rays.x
+        y = rays.y
+    else:
+        _, hist = real_trace.trace(model, params, Hx, Hy, wavelength, Px, Py,
+                                   record=True)
+        x = hist.x[surface_number].ravel()
+        y = hist.y[surface_number].ravel()
     # finite-masked statistics: lost rays (miss/TIR -> NaN) drop out of the
     # merit instead of poisoning it (matters at f32 where marginal rays can
     # tip over the TIR boundary; identical to the reference when no rays

@@ -237,6 +237,86 @@ def shard_map_merit_grad(model, mesh: Mesh, wavelength,
     return run
 
 
+def shard_map_merit_grad_pallas(model, mesh: Mesh, wavelength,
+                                Hx: float = 0.0, Hy: float = 0.0,
+                                axis_name: str = "rays",
+                                interpret: bool = False,
+                                block_rows: int = 128):
+    """Merit (RMS spot) value+gradient where EACH SHARD launches the fused
+    differentiable Pallas kernel on its local ray block (VERDICT r2 item 10:
+    the multi-chip story and the fast path as one code path).
+
+    Per-shard: pallas gen+trace (forward) / the custom_vjp backward kernel
+    (reverse); cross-shard: explicit psum for the spot moments and (via psum
+    transposition) the parameter-gradient all-reduce. ``interpret`` runs the
+    kernels through the Pallas interpreter (CPU-mesh tests and dryruns).
+
+    Returns run(params, Px, Py) with Px/Py sharded along the ray axis.
+    """
+    from ..kernels import pallas_gen_trace_conic
+
+    def value_and_grad_local(params, Px, Py):
+        # Parallel-variance (Chan) combination of PER-SHARD CENTERED
+        # moments:
+        #   merit = [ psum(M2_i) + psum(n_i |mu_i - mu|^2) ] / n
+        # with M2_i the shard's self-centered second moment. Per-shard
+        # centering keeps the f32 value exact (the uncentered S2/n - mu^2
+        # form cancels ~5 digits at image-height scale). AD runs only on the
+        # LOCAL moment function (through the custom_vjp Pallas backward
+        # kernel); the analytic cotangents of the combination are
+        #   d merit/d M2_i = 1/n,    d merit/d S*_i = (2/n)(mu_i - mu)
+        # (the d mu/d S*_i cross terms sum to zero), and the parameter
+        # gradient is one explicit psum of the local VJPs. Every collective
+        # stays outside AD — check_vma=False below disables shard_map's
+        # automatic cotangent psum, which cannot see through pallas_call's
+        # unannotated out_shapes.
+        def local_moments(p):
+            rays = pallas_gen_trace_conic(model, p, Px, Py, wavelength,
+                                          Hx=Hx, Hy=Hy, final_prop=True,
+                                          interpret=interpret,
+                                          differentiable=True,
+                                          block_rows=block_rows)
+            mx = jnp.mean(rays.x)
+            my = jnp.mean(rays.y)
+            m2 = jnp.sum((rays.x - mx) ** 2 + (rays.y - my) ** 2)
+            return jnp.stack([jnp.sum(rays.x), jnp.sum(rays.y), m2])
+
+        m_local, vjp = jax.vjp(local_moments, params)
+        n_l = jnp.asarray(Px.shape[-1], m_local.dtype)
+        n = jax.lax.psum(n_l, axis_name)
+        Sx, Sy, M2 = (jax.lax.psum(m_local[0], axis_name),
+                      jax.lax.psum(m_local[1], axis_name),
+                      jax.lax.psum(m_local[2], axis_name))
+        mux, muy = Sx / n, Sy / n
+        mix, miy = m_local[0] / n_l, m_local[1] / n_l
+        corr = jax.lax.psum(n_l * ((mix - mux) ** 2 + (miy - muy) ** 2),
+                            axis_name)
+        value = (M2 + corr) / n
+        ct = jnp.stack([2.0 / n * (mix - mux), 2.0 / n * (miy - muy),
+                        jnp.ones(()) / n]).astype(m_local.dtype)
+        (g_local,) = vjp(ct)
+        g = jax.tree_util.tree_map(
+            lambda a: jax.lax.psum(a, axis_name), g_local)
+        return value, g
+
+    mapped = jax.shard_map(
+        value_and_grad_local, mesh=mesh,
+        in_specs=(P(), P(axis_name), P(axis_name)),
+        out_specs=(P(), P()), check_vma=False)
+    jitted = jax.jit(mapped)
+    ray_sh = NamedSharding(mesh, P(axis_name))
+
+    def run(params, Px, Py):
+        put = lambda a: jax.device_put(jnp.asarray(a, jnp.float32), ray_sh)
+        p32 = jax.tree_util.tree_map(
+            lambda a: jnp.asarray(a, jnp.float32)
+            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+            params)
+        return jitted(replicate(p32, mesh), put(Px), put(Py))
+
+    return run
+
+
 # -- microbatching (SURVEY §5.7: bundles >> device memory) -------------------
 
 def microbatch(fn, num_microbatches: int, reduce: str | None = None):

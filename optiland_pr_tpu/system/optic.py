@@ -558,8 +558,7 @@ class Optic:
             return False
         if not supports_model(model):
             return False
-        if np.any(np.asarray(params["vig"]) != 0.0):
-            return False
+        # vignetting folds into the kernel's half-EPD gen terms — no gate
         return jax.devices()[0].platform != "cpu"
 
     def trace(self, Hx=0.0, Hy=0.0, wavelength=None, num_rays: int = 100,

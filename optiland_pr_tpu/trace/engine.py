@@ -1,0 +1,134 @@
+"""Engine dispatch for final-surface ray queries.
+
+The product's core use case is *differentiable* merit evaluation
+(reference optimization/optimizer/torch/base.py:95-154: every optimizer step
+re-traces under autograd). This module gives every merit/operand/analysis
+call one entry point that rides the fused Pallas kernel — forward AND
+backward (kernels/pallas_grad.py custom_vjp) — whenever the system/call is
+eligible, and the XLA unrolled trace otherwise.
+
+``set_engine`` pins the dispatch for tests ("pallas_interpret" runs the real
+kernel + custom_vjp under the Pallas interpreter on CPU).
+"""
+from __future__ import annotations
+
+import contextlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import real as real_trace
+from .raygen import generate_rays
+
+__all__ = ["final_rays", "pallas_eligible", "set_engine", "engine_override"]
+
+_FORCE: str | None = None   # None | "auto" | "xla" | "pallas" | "pallas_interpret"
+
+
+def set_engine(mode: str | None):
+    """Pin the engine globally (tests / debugging). None restores "auto"."""
+    global _FORCE
+    _FORCE = mode
+
+
+@contextlib.contextmanager
+def engine_override(mode: str | None):
+    global _FORCE
+    prev = _FORCE
+    _FORCE = mode
+    try:
+        yield
+    finally:
+        _FORCE = prev
+
+
+def pallas_eligible(model, Hx, Hy, apodization=None) -> bool:
+    """Static eligibility of a (system, call) for the fused gen+trace kernel:
+    supported surface stack, scalar angle-field point from infinity, no
+    apodization (the kernel launches unit-intensity rays)."""
+    from ..kernels import supports_model
+    if apodization is not None:
+        return False
+    if np.ndim(Hx) != 0 or np.ndim(Hy) != 0:
+        return False
+    if not (model.field_type == "angle" and model._object_infinite):
+        return False
+    return supports_model(model)
+
+
+def _on_accelerator() -> bool:
+    return jax.devices()[0].platform != "cpu"
+
+
+def _xla_final(model, params, Hx, Hy, wavelength, Px, Py, apodization,
+               final_prop):
+    """XLA path: one wavelength, scalar or [F] field coords; returns the final
+    ray state, optionally without the post-image propagation (matching the
+    reference's recorded image-surface state, real_ray_tracer.py:85-92)."""
+    if final_prop:
+        return real_trace.trace(model, params, Hx, Hy, wavelength, Px, Py,
+                                apodization=apodization)
+    Hxa = jnp.atleast_1d(jnp.asarray(Hx))
+    Hya = jnp.atleast_1d(jnp.asarray(Hy))
+    P = Px.shape[0]
+    F = Hxa.shape[0]
+    rays = generate_rays(model, params, jnp.repeat(Hxa, P),
+                         jnp.repeat(Hya, P), jnp.tile(Px, F), jnp.tile(Py, F),
+                         wavelength, apodization=apodization,
+                         polarized=(model.polarization != "ignore"))
+    launch = rays
+    wl_scalar = wavelength if jnp.ndim(wavelength) == 0 else None
+    rays, _ = real_trace.trace_system(model, params, rays,
+                                      wl_scalar=wl_scalar)
+    return real_trace._finalize_polarization(model, rays, launch)
+
+
+def final_rays(model, params, Hx, Hy, wavelength, Px, Py, *,
+               apodization=None, final_prop: bool = True,
+               engine: str = "auto"):
+    """Final-surface ray state, differentiable, via the fastest eligible
+    engine.
+
+    ``wavelength`` may be a scalar (bundle of len(Px) rays) or a 1-D array of
+    W wavelengths (returns W*len(Px) rays, wavelength-major — both engines).
+    ``engine``: "auto" (Pallas when eligible and an accelerator is present),
+    "xla", "pallas" (raise if ineligible), "pallas_interpret" (force the
+    kernel through the CPU interpreter — for tests).
+    """
+    mode = _FORCE or engine
+    wl = wavelength if isinstance(wavelength, str) else jnp.asarray(wavelength)
+
+    use_pallas = False
+    interpret = False
+    if mode in ("auto", "pallas", "pallas_interpret"):
+        ok = pallas_eligible(model, Hx, Hy, apodization)
+        if mode == "auto":
+            use_pallas = ok and _on_accelerator()
+        elif not ok:
+            raise ValueError(
+                "system/call not eligible for the fused Pallas kernel")
+        else:
+            use_pallas = True
+            interpret = (mode == "pallas_interpret") or not _on_accelerator()
+
+    if use_pallas:
+        from ..kernels import model_flags, pallas_gen_trace_conic
+        flags = model_flags(model, params)
+        return pallas_gen_trace_conic(
+            model, params, jnp.asarray(Px), jnp.asarray(Py), wl,
+            Hx=Hx, Hy=Hy, flags=flags, final_prop=final_prop,
+            interpret=interpret, differentiable=True)
+
+    if jnp.ndim(wl) == 1:
+        # wavelength-major stacking to match the Pallas polychromatic layout
+        one = lambda w: _xla_final(model, params, Hx, Hy, w, Px, Py,
+                                   apodization, final_prop)
+        stacked = jax.vmap(one)(wl)
+        return jax.tree_util.tree_map(
+            lambda a: (a.reshape(-1) if a is not None and a.ndim == 2
+                       else (a.reshape(-1, *a.shape[2:])
+                             if a is not None else None)),
+            stacked)
+    return _xla_final(model, params, Hx, Hy, wl, Px, Py, apodization,
+                      final_prop)

@@ -15,12 +15,21 @@ from .paraxial import Paraxial, trace_generic
 __all__ = ["generate_rays", "vig_factor"]
 
 
+def _field_norms(fields):
+    """Per-field |(x, y)| with the double-where sqrt guard: a (0, 0) field
+    row would otherwise put an inf in sqrt's gradient and NaN the whole
+    ``fields`` cotangent (0 * inf) through the max."""
+    s = jnp.sum(fields**2, axis=1)
+    nz = s > 0
+    return jnp.where(nz, jnp.sqrt(jnp.where(nz, s, 1.0)), 0.0)
+
+
 def vig_factor(model: OpticModel, params, Hx, Hy):
     """Nearest-neighbour vignetting-factor lookup over the defined fields
     (reference fields/field_group.py:80-109)."""
     fields = params["fields"]              # [F, 2]
     vig = params["vig"]                    # [F, 2]
-    max_field = jnp.max(jnp.sqrt(jnp.sum(fields**2, axis=1)))
+    max_field = jnp.max(_field_norms(fields))
     denom = jnp.where(max_field == 0, 1.0, max_field)
     fn = fields / denom
     d2 = (fn[:, 0] - jnp.asarray(Hx)[..., None]) ** 2 \
@@ -30,7 +39,7 @@ def vig_factor(model: OpticModel, params, Hx, Hy):
 
 
 def _max_field(params):
-    return jnp.max(jnp.sqrt(jnp.sum(params["fields"] ** 2, axis=1)))
+    return jnp.max(_field_norms(params["fields"]))
 
 
 def _starting_z_offset(model, params, par: Paraxial):

@@ -1,5 +1,5 @@
-from .profiling import (trace_profiler, annotate, time_best, throughput,
+from .profiling import (trace_profiler, annotate, time_best, time_median, throughput,
                         memory_stats)
 
-__all__ = ["trace_profiler", "annotate", "time_best", "throughput",
+__all__ = ["trace_profiler", "annotate", "time_best", "time_median", "throughput",
            "memory_stats"]

@@ -62,6 +62,26 @@ def time_best(fn, *args, reps: int = 10, rounds: int = 3) -> float:
     return dt_s
 
 
+def time_median(fn, *args, reps: int = 10, rounds: int = 5) -> float:
+    """Median-of-``rounds`` mean rep time (VERDICT r2 item 9: the official
+    perf record uses the median so one tunnel-noise spike can't swing the
+    headline +-15%). Returns seconds per call."""
+    import jax
+    jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(reps):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / reps)
+    times.sort()
+    n = len(times)
+    return times[n // 2] if n % 2 else 0.5 * (times[n // 2 - 1]
+                                              + times[n // 2])
+
+
 def throughput(fn, *args, n_rays: int, n_surfaces: int | None = None,
                n_wavelengths: int = 1, reps: int = 10,
                rounds: int = 3) -> dict:

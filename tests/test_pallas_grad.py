@@ -1,0 +1,276 @@
+"""Differentiable fused-kernel tests (VERDICT r2 item 1).
+
+The custom_vjp backward Pallas kernel (kernels/pallas_grad.py) runs under the
+interpreter on CPU; gradients are pinned against the XLA trace path (which
+round-1/2 suites pin against the live reference merit FD), all at f32 — the
+kernel's native precision.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from optiland_pr_tpu.kernels import (model_flags, pallas_gen_trace_conic,
+                                     supports_model)
+from optiland_pr_tpu.trace import real as real_trace
+from optiland_pr_tpu.trace.engine import engine_override, final_rays
+
+
+def _f32(params):
+    return jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, params)
+
+
+def _pupil(n, seed=0):
+    rng = np.random.default_rng(seed)
+    r = np.sqrt(rng.uniform(size=n))
+    th = rng.uniform(0, 2 * np.pi, size=n)
+    return (jnp.asarray(r * np.cos(th), jnp.float32),
+            jnp.asarray(r * np.sin(th), jnp.float32))
+
+
+def _masked_rms(x, y):
+    ok = jnp.isfinite(x) & jnp.isfinite(y)
+    w = ok.astype(x.dtype)
+    ws = jnp.maximum(jnp.sum(w), 1.0)
+    xs = jnp.where(ok, x, 0.0)
+    ys = jnp.where(ok, y, 0.0)
+    mx = jnp.sum(xs * w) / ws
+    my = jnp.sum(ys * w) / ws
+    return jnp.sqrt(jnp.sum(jnp.where(ok, (xs - mx) ** 2 + (ys - my) ** 2,
+                                      0.0)) / ws)
+
+
+def _grad_parity(build, wavelength, Hx=0.0, Hy=0.7, n=512, rtol=3e-3,
+                 atol=1e-7):
+    """max-rel-err of d(masked RMS spot)/d(params): pallas custom_vjp
+    (interpret) vs the XLA trace, both f32."""
+    model, params = build().build()
+    assert supports_model(model)
+    params = _f32(params)
+    flags = model_flags(model, params)
+    Px, Py = _pupil(n)
+
+    def merit_pallas(p):
+        rays = pallas_gen_trace_conic(model, p, Px, Py, wavelength,
+                                      Hx=Hx, Hy=Hy, flags=flags,
+                                      final_prop=True, interpret=True,
+                                      differentiable=True)
+        return _masked_rms(rays.x, rays.y)
+
+    def merit_xla(p):
+        rays = real_trace.trace(model, p, Hx, Hy, wavelength, Px, Py)
+        return _masked_rms(rays.x, rays.y)
+
+    vp, gp = jax.value_and_grad(merit_pallas)(params)
+    vx, gx = jax.value_and_grad(merit_xla)(params)
+    np.testing.assert_allclose(float(vp), float(vx), rtol=5e-4)
+    for (kp, lp), (_, lx) in zip(jax.tree_util.tree_leaves_with_path(gp),
+                                 jax.tree_util.tree_leaves_with_path(gx)):
+        lp = np.asarray(lp)
+        lx = np.asarray(lx)
+        scale = max(np.max(np.abs(lx)), 1e-4)
+        np.testing.assert_allclose(
+            lp, lx, rtol=rtol, atol=rtol * scale + atol,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(kp)}")
+
+
+def test_grad_parity_cooke():
+    from optiland_pr_tpu.samples import CookeTriplet
+    _grad_parity(CookeTriplet, 0.55)
+
+
+def test_grad_parity_asphere_ift():
+    """Even-asphere: the in-kernel stop-gradient Newton + one differentiable
+    IFT step must reproduce the XLA implicit-diff gradients (incl. through
+    the aspheric coefficients)."""
+    from optiland_pr_tpu.samples import AsphericSinglet
+    _grad_parity(AsphericSinglet, 0.587, Hy=0.5)
+
+
+def test_grad_parity_mirrors_obscuration():
+    """Mirrors + central obscuration aperture: aperture-clipped rays carry
+    zero intensity but finite kinematics; gradients must stay finite.
+
+    Uses Hubble scaled to benchtop size: at the full 5e3-mm scale the f32
+    spot is SMALLER than the f32 positional ulp, so spot-RMS gradients are
+    noise in every f32 engine (measured: both the Pallas and the XLA f32
+    gradients deviate ~2x from the f64 truth, in the same direction) — that
+    regime belongs to the f64 XLA path, not to a parity assertion."""
+    from optiland_pr_tpu.samples import HubbleTelescope
+
+    def small_hubble():
+        lens = HubbleTelescope()
+        lens.scale_system(0.02)
+        # deliberately under-corrected primary: the aplanat's residual spot
+        # (~0.1 wave) sits below f32 positional noise even at benchtop
+        # scale; the aberrated spot (~um) is far above it
+        lens.set_conic(-0.90, 2)
+        return lens
+
+    _grad_parity(small_hubble, 0.55, Hy=0.3, rtol=5e-3)
+
+
+def _singlet(surface_type, **geom_kw):
+    from optiland_pr_tpu.system.optic import Optic
+    lens = Optic(name=f"{surface_type} singlet")
+    lens.add_surface(index=0, radius=jnp.inf, thickness=jnp.inf)
+    lens.add_surface(index=1, radius=60.0, conic=-0.2, thickness=7.0,
+                     material=1.5168, is_stop=True,
+                     surface_type=surface_type, **geom_kw)
+    lens.add_surface(index=2, radius=-320.0, thickness=92.0)
+    lens.add_surface(index=3)
+    lens.set_aperture(aperture_type="EPD", value=16.0)
+    lens.set_field_type(field_type="angle")
+    lens.add_field(y=0)
+    lens.add_field(y=2)
+    lens.add_wavelength(value=0.55, is_primary=True)
+    return lens
+
+
+@pytest.mark.parametrize("surface_type,geom_kw", [
+    ("zernike", dict(zernike_type="standard", norm_radius=10.0,
+                     coefficients=[0.0, 2e-4, -1e-4, 5e-4, 3e-4, -2e-4,
+                                   1e-4, 5e-5])),
+    ("forbes_qbfs", dict(norm_radius=10.0,
+                         coefficients=[1e-3, -5e-4, 2e-4, -1e-4])),
+    ("forbes_q2d", dict(norm_radius=10.0,
+                        terms=((0, 0), (1, 0), (0, 2), (1, 2), (0, -3)),
+                        coefficients=[1e-3, -4e-4, 3e-4, -2e-4, 2e-4])),
+    ("fresnel_zone", dict(zone_depth=0.5)),
+    ("fresnel_designed", dict(focal_length=120.0, n_design=1.5168)),
+])
+def test_grad_parity_north_star_sags(surface_type, geom_kw):
+    """North-star kernel sags (VERDICT r2 item 3) differentiate in-kernel:
+    Zernike / Forbes Qbfs / Q2D (through the pre-packed basis change) and
+    both Fresnel idealizations, vs the XLA implicit-diff path at f32."""
+    _grad_parity(lambda: _singlet(surface_type, **geom_kw), 0.55, Hy=0.6,
+                 n=256, rtol=5e-3)
+
+
+def test_grad_parity_polychromatic():
+    """3-wavelength bundle: cotangents accumulate across the wavelength grid
+    axis into one dconsts/dgen."""
+    from optiland_pr_tpu.samples import CookeTriplet
+    model, params = CookeTriplet().build()
+    params = _f32(params)
+    flags = model_flags(model, params)
+    Px, Py = _pupil(256)
+    wls = jnp.asarray([0.4861, 0.5876, 0.6563], jnp.float32)
+
+    def merit_pallas(p):
+        rays = pallas_gen_trace_conic(model, p, Px, Py, wls, Hy=0.7,
+                                      flags=flags, final_prop=True,
+                                      interpret=True, differentiable=True)
+        return _masked_rms(rays.x, rays.y)
+
+    def merit_xla(p):
+        def one(w):
+            rays = real_trace.trace(model, p, 0.0, 0.7, w, Px, Py)
+            return rays.x, rays.y
+        xs, ys = jax.vmap(one)(wls)
+        return _masked_rms(xs.reshape(-1), ys.reshape(-1))
+
+    vp, gp = jax.value_and_grad(merit_pallas)(params)
+    vx, gx = jax.value_and_grad(merit_xla)(params)
+    np.testing.assert_allclose(float(vp), float(vx), rtol=5e-4)
+    for (kp, lp), (_, lx) in zip(jax.tree_util.tree_leaves_with_path(gp),
+                                 jax.tree_util.tree_leaves_with_path(gx)):
+        lx = np.asarray(lx)
+        scale = max(np.max(np.abs(lx)), 1e-4)
+        np.testing.assert_allclose(
+            np.asarray(lp), lx, rtol=3e-3, atol=3e-3 * scale,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(kp)}")
+
+
+def test_merit_path_rides_pallas():
+    """OptimizationProblem value_and_grad through the forced-interpret Pallas
+    engine matches the XLA engine (the VERDICT r2 'differentiable path is the
+    product' routing)."""
+    from optiland_pr_tpu.optimize import OptimizationProblem
+    from optiland_pr_tpu.samples import CookeTriplet
+
+    def make():
+        problem = OptimizationProblem(CookeTriplet())
+        problem.add_operand("rms_spot_size", target=0.0, weight=1.0,
+                            input_data={"surface_number": -1, "Hx": 0.0,
+                                        "Hy": 0.7, "num_rays": 6,
+                                        "wavelength": 0.55})
+        problem.add_variable("radius", surface_number=1)
+        problem.add_variable("radius", surface_number=2)
+        problem.add_variable("thickness", surface_number=3)
+        return problem
+
+    with engine_override("xla"):
+        p = make()
+        x0 = p.x0()
+        v_x, g_x = p.value_and_grad(x0)
+        v_x, g_x = np.asarray(v_x), np.asarray(g_x)
+    with engine_override("pallas_interpret"):
+        p = make()
+        v_p, g_p = p.value_and_grad(x0)
+    # f64 XLA vs f32 kernel: loose but meaningful bounds
+    np.testing.assert_allclose(float(v_p), float(v_x), rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(g_p), g_x, rtol=5e-3,
+                               atol=5e-3 * max(np.max(np.abs(g_x)), 1e-6))
+
+
+def test_final_rays_engine_dispatch_matches():
+    """final_rays(pallas_interpret) == final_rays(xla) forward, f32."""
+    from optiland_pr_tpu.samples import DoubleGauss
+    model, params = DoubleGauss().build()
+    params = _f32(params)
+    Px, Py = _pupil(256)
+    with engine_override("pallas_interpret"):
+        rp = final_rays(model, params, 0.0, 0.5, 0.5876, Px, Py,
+                        final_prop=False)
+    with engine_override("xla"):
+        rx = final_rays(model, params, 0.0, 0.5, 0.5876, Px, Py,
+                        final_prop=False)
+    np.testing.assert_allclose(np.asarray(rp.x), np.asarray(rx.x),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(rp.y), np.asarray(rx.y),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(rp.opd), np.asarray(rx.opd),
+                               rtol=1e-4, atol=2e-3)
+
+
+def _f32_opd_errors(build, wavelength, n=512):
+    """(plain, kahan) mean |OPD_f32 - OPD_f64| of the fused kernel vs the f64
+    XLA trace."""
+    model, params = build().build()
+    params32 = _f32(params)
+    flags = model_flags(model, params32)
+    Px, Py = _pupil(n, seed=2)
+    r64 = real_trace.trace(model, params, 0.0, 0.0, wavelength,
+                           jnp.asarray(Px, jnp.float64),
+                           jnp.asarray(Py, jnp.float64))
+    kw = dict(flags=flags, final_prop=True, interpret=True)
+    wl32 = jnp.float32(wavelength)
+    r_plain = pallas_gen_trace_conic(model, params32, Px, Py, wl32, **kw)
+    r_kahan = pallas_gen_trace_conic(model, params32, Px, Py, wl32,
+                                     kahan=True, **kw)
+    opd64 = np.asarray(r64.opd, np.float64)
+    ok = np.isfinite(opd64) & np.isfinite(np.asarray(r_plain.opd))
+    err_plain = np.abs(np.asarray(r_plain.opd, np.float64) - opd64)[ok]
+    err_kahan = np.abs(np.asarray(r_kahan.opd, np.float64) - opd64)[ok]
+    return err_plain.mean(), err_kahan.mean()
+
+
+def test_kahan_opd_f32_error():
+    """f32 OPD error budget (SURVEY §7, measured in BENCHMARKS.md): the
+    compensated sum must never be worse and must hold the documented bounds.
+    The measured decomposition: on many-surface systems the accumulation
+    error Kahan removes is ~15-20% of the total — the remaining f32 error is
+    per-surface intersection roundoff, which no summation scheme recovers
+    (the f64 XLA path is the designed answer at meter scale)."""
+    from optiland_pr_tpu.samples import HubbleTelescope, ObjectiveUS008879901
+
+    ep, ek = _f32_opd_errors(ObjectiveUS008879901, 0.55)  # 25 surfaces
+    assert ek <= ep * 1.001
+    assert ek < 3e-5     # documented bound: ~0.05 waves at 142-mm path
+
+    ep_h, ek_h = _f32_opd_errors(HubbleTelescope, 0.55)   # 18.6e3-mm path
+    assert ek_h <= ep_h * 1.001
+    assert ek_h < 2.5e-3  # documented bound: f32 ulp-limited at meter scale

@@ -275,6 +275,22 @@ def _freeform_singlet(surface_type, **geom_kw):
     ("biconic", dict(radius_x=80.0, conic_x=-0.5), "biconic"),
     ("toroidal", dict(radius_rot=150.0, coeffs_poly_y=[1e-5, -2e-7]),
      "toroidal"),
+    ("zernike", dict(zernike_type="standard", norm_radius=10.0,
+                     coefficients=[0.0, 2e-4, -1e-4, 5e-4, 3e-4, -2e-4,
+                                   1e-4, 5e-5]), "zernike"),
+    ("zernike", dict(zernike_type="fringe", norm_radius=10.0,
+                     coefficients=[0.0, 1e-4, -2e-4, 4e-4, 2e-4, 1e-4]),
+     "zernike"),
+    ("forbes_qbfs", dict(norm_radius=10.0,
+                         coefficients=[1e-3, -5e-4, 2e-4, -1e-4]), "qbfs"),
+    ("forbes_q2d", dict(norm_radius=10.0,
+                        terms=((0, 0), (1, 0), (0, 2), (1, 2), (0, -3),
+                               (0, 1)),
+                        coefficients=[1e-3, -4e-4, 3e-4, -2e-4, 2e-4, 1e-4]),
+     "q2d"),
+    ("fresnel_zone", dict(zone_depth=0.5), "fresnel_zone"),
+    ("fresnel_designed", dict(focal_length=120.0, n_design=1.5168,
+                              zone_depth=0.5), "fresnel_designed"),
 ])
 def test_freeform_gen_trace_parity(surface_type, geom_kw, expect_kind):
     """Freeform sags on the fast path: in-kernel Newton on XY polynomials,

@@ -213,3 +213,36 @@ def test_init_distributed_single_process_is_graceful():
     assert ok in (True, False)
     if not ok:
         assert isinstance(err, str) and err
+
+
+def test_shard_map_pallas_merit_grad(mesh):
+    """VERDICT r2 item 10: each shard launches the fused differentiable
+    Pallas kernel (interpret mode on the CPU mesh); value and parameter
+    gradients must match the XLA shard_map path at f32."""
+    from optiland_pr_tpu.parallel import (shard_map_merit_grad,
+                                          shard_map_merit_grad_pallas)
+    model, params = CookeTriplet().build()
+    params32 = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a, params)
+    n = 8 * 512
+    Px, Py = _pupil(n)
+    Px32 = jnp.asarray(Px, jnp.float32)
+    Py32 = jnp.asarray(Py, jnp.float32)
+
+    run_p = shard_map_merit_grad_pallas(model, mesh, 0.55, Hx=0.0, Hy=0.7,
+                                        interpret=True, block_rows=4)
+    v_p, g_p = run_p(params32, Px32, Py32)
+
+    run_x = shard_map_merit_grad(model, mesh, 0.55)
+    v_x, g_x = run_x(params32, jnp.zeros_like(Px32),
+                     jnp.zeros_like(Px32) + 0.7, Px32, Py32)
+    np.testing.assert_allclose(float(v_p), float(v_x), rtol=1e-4)
+    for (kp, lp), (_, lx) in zip(jax.tree_util.tree_leaves_with_path(g_p),
+                                 jax.tree_util.tree_leaves_with_path(g_x)):
+        lx = np.asarray(lx)
+        scale = max(np.max(np.abs(lx)), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(lp), lx, rtol=5e-3, atol=5e-3 * scale,
+            err_msg=f"shard_map pallas grad mismatch at "
+                    f"{jax.tree_util.keystr(kp)}")
