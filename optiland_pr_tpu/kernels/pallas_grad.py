@@ -32,18 +32,40 @@ from .pallas_trace import _CONST_W, _gen_pipeline, _pallas_gen_trace_2d
 
 __all__ = ["diff_gen_trace"]
 
-_BWD_BLOCK_ROWS = 8  # backward tiles are small: AD residuals live in VMEM
+import os
+
+# Backward tiles: the tile's AD residuals (~the forward recompute's live
+# per-surface values) must fit the 16 MB VMEM scope, so rows scale inversely
+# with surface count. Measured on TPU v5e (Cooke, S=6): rows 8 -> 2.7e8
+# grad-rays/s, 64 -> 3.9e8, 128 -> VMEM OOM (21.5 MB). Budget rows*S <= 384.
+_BWD_ROW_SURFACE_BUDGET = 384
+_BWD_ENV = os.environ.get("OPTILAND_BWD_BLOCK_ROWS")
+
+
+def _bwd_rows(num_surfaces: int, block_rows: int) -> int:
+    # Never exceed the FORWARD block size: the padded row count is only
+    # guaranteed to be a multiple of block_rows, and a larger backward block
+    # would make the grid rows // bwd_rows == 0 — an empty launch whose
+    # outputs are uninitialized garbage.
+    if _BWD_ENV:
+        return max(1, min(int(_BWD_ENV), block_rows))
+    rows = _BWD_ROW_SURFACE_BUDGET // max(num_surfaces, 1)
+    pow2 = 8
+    while pow2 * 2 <= rows:
+        pow2 *= 2
+    return max(1, min(pow2, 64, block_rows))
 
 
 def _gen_bwd_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
                     dxo_ref, dyo_ref, dzo_ref, dlo_ref, dmo_ref, dno_ref,
                     dio_ref, doo_ref,
                     dgen_ref, dconsts_ref, dacoef_ref, dpx_ref, dpy_ref,
-                    *, flags: tuple, final_prop: bool, kahan: bool):
+                    *, flags: tuple, final_prop: bool, kahan: bool,
+                    polar_state=None):
     from jax.experimental import pallas as pl
 
     f = functools.partial(_gen_pipeline, flags=flags, final_prop=final_prop,
-                          kahan=kahan)
+                          kahan=kahan, polar_state=polar_state)
     gen = gen_ref[0, :]
     c = consts_ref[0]
     a = acoef_ref[:]
@@ -87,11 +109,11 @@ def _gen_bwd_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
 
 @functools.partial(jax.jit, static_argnames=("flags", "block_rows",
                                              "final_prop", "interpret",
-                                             "kahan"))
+                                             "kahan", "polar_state"))
 def _pallas_gen_bwd_2d(gen, consts, acoef, Px, Py, dx, dy, dz, dl, dm, dn,
                        di, do, flags: tuple, block_rows: int,
                        final_prop: bool = False, interpret: bool = False,
-                       kahan: bool = False):
+                       kahan: bool = False, polar_state=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -121,7 +143,8 @@ def _pallas_gen_bwd_2d(gen, consts, acoef, Px, Py, dx, dy, dz, dl, dm, dn,
     ]
     out_specs = [gen_spec, const_spec, acoef_spec, cot_spec, cot_spec]
     kernel = functools.partial(_gen_bwd_kernel, flags=flags,
-                               final_prop=final_prop, kahan=kahan)
+                               final_prop=final_prop, kahan=kahan,
+                               polar_state=polar_state)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -135,7 +158,7 @@ def _pallas_gen_bwd_2d(gen, consts, acoef, Px, Py, dx, dy, dz, dl, dm, dn,
 
 @functools.lru_cache(maxsize=128)
 def diff_gen_trace(flags: tuple, block_rows: int, final_prop: bool,
-                   interpret: bool, kahan: bool):
+                   interpret: bool, kahan: bool, polar_state=None):
     """custom_vjp-wrapped fused gen+trace core for a static surface-stack
     configuration. Signature of the returned function:
     ``f(gen, consts, acoef, Px2d, Py2d) -> (x, y, z, L, M, N, inten, opd)``
@@ -146,7 +169,8 @@ def diff_gen_trace(flags: tuple, block_rows: int, final_prop: bool,
     def f(gen, consts, acoef, Px, Py):
         return tuple(_pallas_gen_trace_2d(
             gen, consts, acoef, Px, Py, flags=flags, block_rows=block_rows,
-            final_prop=final_prop, interpret=interpret, kahan=kahan))
+            final_prop=final_prop, interpret=interpret, kahan=kahan,
+            polar_state=polar_state))
 
     def fwd(gen, consts, acoef, Px, Py):
         return f(gen, consts, acoef, Px, Py), (gen, consts, acoef, Px, Py)
@@ -156,11 +180,11 @@ def diff_gen_trace(flags: tuple, block_rows: int, final_prop: bool,
         # zeroed by the transpose of the in-pipeline nanify where — no
         # blanket filtering here, matching the XLA path's AD semantics.
         gen, consts, acoef, Px, Py = res
-        bwd_rows = min(_BWD_BLOCK_ROWS, block_rows)
+        bwd_rows = _bwd_rows(len(flags), block_rows)
         dgen, dconsts, dacoef, dPxw, dPyw = _pallas_gen_bwd_2d(
             gen, consts, acoef, Px, Py, *cots, flags=flags,
             block_rows=bwd_rows, final_prop=final_prop, interpret=interpret,
-            kahan=kahan)
+            kahan=kahan, polar_state=polar_state)
         return (dgen, dconsts, dacoef,
                 jnp.sum(dPxw, axis=0), jnp.sum(dPyw, axis=0))
 

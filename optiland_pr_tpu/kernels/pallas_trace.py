@@ -78,12 +78,17 @@ def supports_model(model: OpticModel) -> bool:
         if spec.aperture is not None and spec.aperture.kind not in (
                 "radial", "offset_radial"):
             return False
-        if spec.coating is not None and spec.coating.kind != "simple":
+        if spec.coating is not None and spec.coating.kind not in ("simple",
+                                                                  "fresnel"):
             return False
     for spec in model.surfaces:
         if getattr(spec.material, "is_grin", False):
             return False
-    return model.polarization == "ignore"
+    # polarized chains run in-kernel as an all-real 3x3 Jones composition
+    # (Fresnel s/p coefficients are real in the refract/mirror regime; TIR
+    # rays are invalid anyway; complex LAUNCH states decompose into two real
+    # projections at the final intensity)
+    return True
 
 
 def _pack_rows(model: OpticModel, params, wavelength) -> jnp.ndarray:
@@ -553,6 +558,107 @@ def _q2d_sag_grad(c, acoef, terms: tuple, xx, yy):
     return s, gx, gy
 
 
+def _polar_update(p9, L0, M0, N0, L1, M1, N1, diag=None):
+    """Real 3x3 Jones-chain update (core/polarization.py
+    polarization_update_matrix; reference rays/polarized_rays.py:115-153):
+    rotate into the s/p basis of the interaction plane, apply the (diagonal,
+    real) Jones matrix, rotate out, compose onto the chain. With diag
+    (js, jp, j3) the surface matrix is rank-structured,
+        M = js s s^T + jp p1 p0^T + j3 k1 k0^T,
+    so the whole update is elementwise VPU math — no 3x3 materialization."""
+    sx = M0 * N1 - N0 * M1
+    sy = N0 * L1 - L0 * N1
+    sz = L0 * M1 - M0 * L1
+    mag2 = sx * sx + sy * sy + sz * sz
+    # normal incidence: fall back to k0 x [1,0,0] = (0, N0, -M0); the
+    # threshold (not ==0) guards against FMA residuals of a bit-identical
+    # k0 == k1 being normalized into a garbage basis (core/polarization.py)
+    fb = mag2 < 1e-12
+    sx = jnp.where(fb, 0.0, sx)
+    sy = jnp.where(fb, N0, sy)
+    sz = jnp.where(fb, -M0, sz)
+    mag2 = sx * sx + sy * sy + sz * sz
+    inv = jax.lax.rsqrt(jnp.where(mag2 > 0, mag2, 1.0))
+    sx, sy, sz = sx * inv, sy * inv, sz * inv
+    # p0 = k0 x s, p1 = k1 x s
+    p0x = M0 * sz - N0 * sy
+    p0y = N0 * sx - L0 * sz
+    p0z = L0 * sy - M0 * sx
+    p1x = M1 * sz - N1 * sy
+    p1y = N1 * sx - L1 * sz
+    p1z = L1 * sy - M1 * sx
+    if diag is None:
+        js = jp = j3 = 1.0
+    else:
+        js, jp, j3 = diag
+    ss = (js * sx, js * sy, js * sz)
+    pp = (jp * p1x, jp * p1y, jp * p1z)
+    kk = (j3 * L1, j3 * M1, j3 * N1)
+    rows_b = ((sx, sy, sz), (p0x, p0y, p0z), (L0, M0, N0))
+    # M[a][b] = ss[a]*s[b] + pp[a]*p0[b] + kk[a]*k0[b]; out = M @ p9
+    out = []
+    for a in range(3):
+        Ma = [ss[a] * rows_b[0][b] + pp[a] * rows_b[1][b]
+              + kk[a] * rows_b[2][b] for b in range(3)]
+        for b in range(3):
+            out.append(Ma[0] * p9[0 * 3 + b] + Ma[1] * p9[1 * 3 + b]
+                       + Ma[2] * p9[2 * 3 + b])
+    return tuple(out)
+
+
+def _fresnel_diag(n1, n2, cos_i, is_refl: bool):
+    """Real Fresnel s/p coefficients (core/polarization.py fresnel_jones;
+    reference jones.py JonesFresnel). Valid below TIR — evanescent rays are
+    already masked invalid by the refraction discriminant."""
+    n = n2 / n1
+    sin2 = 1.0 - cos_i * cos_i
+    rad = n * n - sin2
+    root = jnp.sqrt(jnp.where(rad > _EPS, rad, _EPS))
+    if is_refl:
+        js = (cos_i - root) / (cos_i + root)
+        jp = (n * n * cos_i - root) / (n * n * cos_i + root)
+        return js, -jp, -1.0
+    js = 2.0 * cos_i / (cos_i + root)
+    jp = 2.0 * n * cos_i / (n * n * cos_i + root)
+    return js, jp, 1.0
+
+
+def _polar_intensity(p9, state, L0, M0, N0):
+    """Final intensity from the accumulated chain (reference
+    polarized_rays.update_intensity — overwrites from the chain and the
+    LAUNCH intensity, which is 1 on this path; core/polarization.py
+    update_intensity). A complex launch state decomposes into two real
+    projections since the chain is real."""
+    # launch basis: p = cross(k, x)/|.| = (0, N0, -M0)/|.|, s = cross(p, k)
+    pxv = jnp.zeros_like(L0)
+    pyv = N0
+    pzv = -M0
+    m2 = pyv * pyv + pzv * pzv
+    inv = jax.lax.rsqrt(jnp.where(m2 > 0, m2, 1.0))
+    pxv, pyv, pzv = pxv * inv, pyv * inv, pzv * inv
+    sxv = pyv * N0 - pzv * M0
+    syv = pzv * L0 - pxv * N0
+    szv = pxv * M0 - pyv * L0
+
+    def through_sq(ex_s, ey_p):
+        ex = ex_s * sxv + ey_p * pxv
+        ey = ex_s * syv + ey_p * pyv
+        ez = ex_s * szv + ey_p * pzv
+        o0 = p9[0] * ex + p9[1] * ey + p9[2] * ez
+        o1 = p9[3] * ex + p9[4] * ey + p9[5] * ez
+        o2 = p9[6] * ex + p9[7] * ey + p9[8] * ez
+        return o0 * o0 + o1 * o1 + o2 * o2
+
+    if state is None or isinstance(state, str) or not state.is_polarized:
+        return (through_sq(1.0, 0.0) + through_sq(0.0, 1.0)) * 0.5
+    import math
+    exr = state.Ex * math.cos(state.phase_x)
+    exi = state.Ex * math.sin(state.phase_x)
+    eyr = state.Ey * math.cos(state.phase_y)
+    eyi = state.Ey * math.sin(state.phase_y)
+    return through_sq(exr, eyr) + through_sq(exi, eyi)
+
+
 def _freeform_sag_grad(gkind: str, nu: int, nv: int, c, acoef, xx, yy,
                        gextra=None):
     """Static per-kind sag + gradient dispatch for the in-kernel Newton
@@ -657,11 +763,13 @@ def _freeform_sag_grad(gkind: str, nu: int, nv: int, c, acoef, xx, yy,
     raise ValueError(f"unknown kernel geometry kind {gkind!r}")
 
 
-def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None, *,
+def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None,
+                  p9=None, *,
                   is_plane: bool, is_refl: bool, absorbing: bool, acoef=None,
                   gkind: str = "conic", nu: int = 0, nv: int = 0,
                   has_cs: bool = False, has_ap: bool = False,
-                  has_coat: bool = False, gextra=None):
+                  has_coat: bool = False, fresnel_coat: bool = False,
+                  gextra=None):
     """One surface interaction; all elementwise VPU ops.
 
     is_plane/is_refl/absorbing/has_cs/has_ap/has_coat are STATIC (baked from
@@ -821,12 +929,21 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None, *,
         return (u * L + nx * w, u * M + ny * w, u * N + nz * w,
                 valid & ok_r)
 
+    # local-frame pre-interaction directions feed the polarization chain
+    # (trace/real.py: apply_polarization_update BEFORE globalize, matching
+    # the reference's frame-mixing convention)
+    if p9 is not None:
+        L_pre, M_pre, N_pre = L, M, N
+    cos_i = None
+
     if newton_geom:
         # ---- freeform normal + refract/reflect ----------------------------
         _, gx, gy = _freeform_sag_grad(gkind, nu, nv, c, acoef, x, y, gextra)
         inv_mag = jax.lax.rsqrt(gx * gx + gy * gy + 1.0)
-        L, M, N, valid = _interact(gx * inv_mag, gy * inv_mag, -inv_mag,
-                                   L, M, N, valid)
+        nx, ny, nz = gx * inv_mag, gy * inv_mag, -inv_mag
+        if p9 is not None:
+            cos_i = jnp.abs(L * nx + M * ny + N * nz)
+        L, M, N, valid = _interact(nx, ny, nz, L, M, N, valid)
     elif gkind == "fresnel_designed":
         # designed facet slope m = -sin/(n_design - cos), tan = r/f
         # (geometry/extras.py FresnelDesignedSag._slope)
@@ -839,13 +956,19 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None, *,
         dfdx = mslope * x / r_safe
         dfdy = mslope * y / r_safe
         inv_mag = jax.lax.rsqrt(dfdx * dfdx + dfdy * dfdy + 1.0)
-        L, M, N, valid = _interact(dfdx * inv_mag, dfdy * inv_mag, -inv_mag,
-                                   L, M, N, valid)
+        nx, ny, nz = dfdx * inv_mag, dfdy * inv_mag, -inv_mag
+        if p9 is not None:
+            cos_i = jnp.abs(L * nx + M * ny + N * nz)
+        L, M, N, valid = _interact(nx, ny, nz, L, M, N, valid)
     elif is_plane and is_refl:
         # flat mirror, normal (0, 0, -1): d -> d - 2(d.n)n flips N only
+        if p9 is not None:
+            cos_i = jnp.abs(N)
         N = -N
     elif is_plane:
         # flat interface: Snell with normal (0, 0, 1)
+        if p9 is not None:
+            cos_i = jnp.abs(N)
         u = n1 / n2
         disc_r = 1.0 - u * u * (1.0 - N * N)
         ok_r = disc_r >= 0
@@ -864,8 +987,16 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None, *,
         dfdx = x * radius_inv * inv_root
         dfdy = y * radius_inv * inv_root
         inv_mag = jax.lax.rsqrt(dfdx * dfdx + dfdy * dfdy + 1.0)
-        L, M, N, valid = _interact(dfdx * inv_mag, dfdy * inv_mag, -inv_mag,
-                                   L, M, N, valid)
+        nx, ny, nz = dfdx * inv_mag, dfdy * inv_mag, -inv_mag
+        if p9 is not None:
+            cos_i = jnp.abs(L * nx + M * ny + N * nz)
+        L, M, N, valid = _interact(nx, ny, nz, L, M, N, valid)
+
+    # ---- polarization chain (reference interactions/base.py:111-127:
+    # coating.interact -> rays.update(jones), or rays.update() bare) --------
+    if p9 is not None:
+        diag = _fresnel_diag(n1, n2, cos_i, is_refl) if fresnel_coat else None
+        p9 = _polar_update(p9, L_pre, M_pre, N_pre, L, M, N, diag)
 
     # ---- scalar coating intensity factor (system/coatings.py SimpleCoating,
     # applied post-interaction like trace/real.py:121-126) ------------------
@@ -883,18 +1014,26 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None, *,
         x, y, z, L, M, N = xg, yg, zg, Lg, Mg, Ng
     else:
         z = z + pos_z
+    ret = [x, y, z, L, M, N, inten, opd, valid]
     if opd_c is not None:
-        return x, y, z, L, M, N, inten, opd, valid, opd_c
-    return x, y, z, L, M, N, inten, opd, valid
+        ret.append(opd_c)
+    if p9 is not None:
+        ret.append(p9)
+    return tuple(ret)
 
 
 def _step_kwargs(flag):
     (is_plane, is_refl, absorbing, gkind, nu, nv, has_cs, has_ap,
-     has_coat) = flag[:9]
+     coat) = flag[:9]
     gextra = flag[9] if len(flag) > 9 else None
+    if coat is True:     # legacy boolean flag form (hand-built test flags)
+        coat = "simple"
+    elif coat is False:
+        coat = "none"
     return dict(is_plane=is_plane, is_refl=is_refl, absorbing=absorbing,
                 gkind=gkind, nu=nu, nv=nv, has_cs=has_cs, has_ap=has_ap,
-                has_coat=has_coat, gextra=gextra)
+                has_coat=(coat == "simple"), fresnel_coat=(coat == "fresnel"),
+                gextra=gextra)
 
 
 def _nanify8(x, y, z, L, M, N, inten, opd, valid):
@@ -988,9 +1127,10 @@ def model_flags(model: OpticModel, params) -> tuple:
         if gk == "toroidal" and _concrete_isinf(sp["geom"]["radius_rot"],
                                                 False):
             gkind = "toroidal_inf"
+        coat = "none" if spec.coating is None else spec.coating.kind
         flags.append((is_plane, spec.is_reflective, absorbing, gkind, nu, nv,
                       spec.has_tilt_decenter, spec.aperture is not None,
-                      spec.coating is not None, gextra))
+                      coat, gextra))
     return tuple(flags)
 
 
@@ -1022,7 +1162,8 @@ def _pallas_call_2d(consts, acoef, x, y, z, L, M, N, inten, opd,
 
 
 def _gen_pipeline(gen, c_all, a_all, Px, Py, *, flags: tuple,
-                  final_prop: bool = False, kahan: bool = False):
+                  final_prop: bool = False, kahan: bool = False,
+                  polar_state=None):
     """Pure generation + trace pipeline over one monochromatic ray tile.
 
     ``gen``: [8] vector [half_epd_vx, half_epd_vy, x_field, y_field, z0, epl,
@@ -1057,15 +1198,28 @@ def _gen_pipeline(gen, c_all, a_all, Px, Py, *, flags: tuple,
     opd = jnp.zeros_like(Px)
     opd_c = jnp.zeros_like(Px) if kahan else None
     valid = jnp.ones(Px.shape, dtype=bool)
+    p9 = None
+    if polar_state is not None:
+        one = jnp.ones_like(Px)
+        zero = jnp.zeros_like(Px)
+        p9 = (one, zero, zero, zero, one, zero, zero, zero, one)
+        L0g, M0g, N0g = L, M, N   # launch dirs feed the final intensity
 
     for k, flag in enumerate(flags):
         out = _surface_step(
-            c_all[k, :], x, y, z, L, M, N, inten, opd, valid, opd_c,
+            c_all[k, :], x, y, z, L, M, N, inten, opd, valid, opd_c, p9,
             acoef=a_all[k, :], **_step_kwargs(flag))
+        x, y, z, L, M, N, inten, opd, valid = out[:9]
+        rest = out[9:]
         if kahan:
-            x, y, z, L, M, N, inten, opd, valid, opd_c = out
-        else:
-            x, y, z, L, M, N, inten, opd, valid = out
+            opd_c, rest = rest[0], rest[1:]
+        if p9 is not None:
+            p9 = rest[0]
+    if polar_state is not None:
+        # reference quirk, kept for parity (polarized_rays.update_intensity):
+        # final intensity comes from the chain and the LAUNCH intensity,
+        # overwriting per-surface aperture/coating factors
+        inten = _polar_intensity(p9, polar_state, L0g, M0g, N0g)
     if final_prop:
         t_img = gen[6]
         x = x + t_img * L
@@ -1076,7 +1230,8 @@ def _gen_pipeline(gen, c_all, a_all, Px, Py, *, flags: tuple,
 
 def _gen_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
                 xo, yo, zo, lo, mo, no, io, oo, *, flags: tuple,
-                final_prop: bool = False, kahan: bool = False):
+                final_prop: bool = False, kahan: bool = False,
+                polar_state=None):
     """Fused ray-generation + trace: inputs are just the pupil samples.
     With ``final_prop``, the post-image-surface propagation by the image
     thickness (raytrace/real_ray_tracer.py:85-92) is fused in as well, so the
@@ -1087,7 +1242,8 @@ def _gen_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
     """
     x, y, z, L, M, N, inten, opd = _gen_pipeline(
         gen_ref[0, :], consts_ref[0], acoef_ref[:], px_ref[:], py_ref[:],
-        flags=flags, final_prop=final_prop, kahan=kahan)
+        flags=flags, final_prop=final_prop, kahan=kahan,
+        polar_state=polar_state)
     xo[0, :, :] = x
     yo[0, :, :] = y
     zo[0, :, :] = z
@@ -1100,10 +1256,11 @@ def _gen_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
 
 @functools.partial(jax.jit, static_argnames=("flags", "block_rows",
                                              "final_prop", "interpret",
-                                             "kahan"))
+                                             "kahan", "polar_state"))
 def _pallas_gen_trace_2d(gen, consts, acoef, Px, Py, flags: tuple,
                          block_rows: int, final_prop: bool = False,
-                         interpret: bool = False, kahan: bool = False):
+                         interpret: bool = False, kahan: bool = False,
+                         polar_state=None):
     """Grid is (W, ray blocks): axis 0 selects the per-wavelength constant
     set; every block reuses the same pupil samples (the reference traces the
     same pupil distribution per wavelength)."""
@@ -1127,7 +1284,8 @@ def _pallas_gen_trace_2d(gen, consts, acoef, Px, Py, flags: tuple,
                               memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((W, rows, lanes), Px.dtype)] * 8
     kernel = functools.partial(_gen_kernel, flags=flags,
-                               final_prop=final_prop, kahan=kahan)
+                               final_prop=final_prop, kahan=kahan,
+                               polar_state=polar_state)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -1206,15 +1364,18 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
         return a.reshape(rows, lanes)
 
     acoef = pack_asphere_coeffs(model, params)
+    polar_state = None if model.polarization == "ignore" \
+        else model.polarization
     if differentiable:
         from .pallas_grad import diff_gen_trace
-        core = diff_gen_trace(flags, block_rows, final_prop, interpret, kahan)
+        core = diff_gen_trace(flags, block_rows, final_prop, interpret, kahan,
+                              polar_state)
         out = core(gen, consts, acoef, shape(Px), shape(Py))
     else:
         out = _pallas_gen_trace_2d(gen, consts, acoef, shape(Px), shape(Py),
                                    flags=flags, block_rows=block_rows,
                                    final_prop=final_prop, interpret=interpret,
-                                   kahan=kahan)
+                                   kahan=kahan, polar_state=polar_state)
     W = wls.shape[0]
     x, y, z, L, M, N, inten, opd = [
         o.reshape(W, -1)[:, :n] for o in out]

@@ -124,7 +124,14 @@ class Tolerancing:
         return self.compensators[-1]
 
     def add_operand(self, operand_type: str, input_data=None, target=None):
-        self.operands.append((operand_type, dict(input_data or {}), target))
+        input_data = dict(input_data or {})
+        if target is None:
+            # reference semantics (tolerancing/core.py add_operand): a
+            # target-less operand targets its NOMINAL value — compensators
+            # restore the unperturbed metric, they don't drive it to zero
+            fn = operand_registry[operand_type]
+            target = float(fn(self.model, self.nominal_params, **input_data))
+        self.operands.append((operand_type, input_data, target))
 
     # -- pure evaluation pipeline ------------------------------------------
     def _apply_perturbations(self, params, values):
@@ -132,10 +139,14 @@ class Tolerancing:
             params = pert.apply(params, v)
         return params
 
-    def _compensate(self, params, n_steps: int = 30, lr: float = 0.05):
+    def _compensate(self, params, n_steps: int = 30, lr: float = 0.05,
+                    n_newton: int = 4):
         """Fixed-iteration inner optimization over compensator variables —
-        vmap-friendly (static step count), adequate for the near-quadratic
-        refocus/realign problems compensators solve.
+        vmap-friendly (static step counts): Adam warmup to the basin, then
+        damped-Newton polish (the refocus/realign problems compensators
+        solve are near-quadratic, so a handful of Newton steps converges to
+        optimizer precision — matching the reference's scipy-convergence
+        compensator, tolerancing/compensator.py:15-80, to ~1e-8).
 
         The loss is the sum of squared operand deltas against targets.
         """
@@ -143,17 +154,20 @@ class Tolerancing:
             return params
         comp_vars = [c.variable for c in self.compensators]
 
-        def loss_fn(x, base_params):
+        def resid_fn(x, base_params):
             p = base_params
             for var, xi in zip(comp_vars, x):
                 p = var.set(p, xi)
-            total = 0.0
+            rs = []
             for op_type, input_data, target in self.operands:
                 fn = operand_registry[op_type]
                 v = fn(self.model, p, **input_data)
                 t = 0.0 if target is None else target
-                total = total + (v - t) ** 2
-            return total
+                rs.append(jnp.reshape(v - t, ()))
+            return jnp.stack(rs)
+
+        def loss_fn(x, base_params):
+            return jnp.sum(resid_fn(x, base_params) ** 2)
 
         x = jnp.stack([jnp.reshape(v.get(params), ()) for v in comp_vars])
         grad_fn = jax.grad(loss_fn)
@@ -174,6 +188,37 @@ class Tolerancing:
             return x, m, s
 
         x, _, _ = jax.lax.fori_loop(0, n_steps, body, (x, m, s))
+
+        # Damped Gauss-Newton polish on the residual vector: the GN step is
+        # always a DESCENT direction of the squared loss, so it cannot lock
+        # onto the v' = 0 stationary point (a local max of (v-t)^2 between
+        # the two v = t roots) the way a plain Newton-on-the-loss does.
+        jac_fn = jax.jacfwd(resid_fn)
+
+        def gn_body(i, x):
+            r = resid_fn(x, params)
+            J = jac_fn(x, params)
+            JTJ = J.T @ J + 1e-12 * jnp.eye(x.shape[0], dtype=x.dtype)
+            step = jnp.linalg.solve(JTJ, J.T @ r)
+            loss0 = jnp.sum(r ** 2)
+            x_full = x - step
+            x_half = x - 0.5 * step
+            l_full = loss_fn(x_full, params)
+            l_half = loss_fn(x_half, params)
+            # accept the best finite candidate that does not increase loss
+            cand_x = jnp.where(l_full <= l_half, x_full, x_half)
+            cand_l = jnp.minimum(l_full, l_half)
+            ok = jnp.isfinite(cand_l) & jnp.all(jnp.isfinite(cand_x)) \
+                & (cand_l <= loss0)
+            return jnp.where(ok, cand_x, x)
+
+        # polish from BOTH the Adam iterate and the nominal start (if Adam
+        # parked at v' = 0 the Jacobian vanishes and GN cannot move), and
+        # keep the better
+        x0 = jnp.stack([jnp.reshape(v.get(params), ()) for v in comp_vars])
+        xa = jax.lax.fori_loop(0, n_newton, gn_body, x)
+        xb = jax.lax.fori_loop(0, n_newton, gn_body, x0)
+        x = jnp.where(loss_fn(xa, params) <= loss_fn(xb, params), xa, xb)
         for var, xi in zip(comp_vars, x):
             params = var.set(params, xi)
         return params

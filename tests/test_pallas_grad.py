@@ -149,6 +149,68 @@ def test_grad_parity_north_star_sags(surface_type, geom_kw):
                  n=256, rtol=5e-3)
 
 
+def test_grad_parity_polarized():
+    """Polarized + Fresnel-coated system: gradients of an intensity-weighted
+    spot merit through the in-kernel Jones chain vs the XLA polarization
+    path (BASELINE config #2 differentiability). Small surface count keeps
+    the interpret-mode backward fast; the full double Gauss is covered by
+    the forward parity test in test_pallas_widened.py."""
+    from optiland_pr_tpu.core.polarization import PolarizationState
+    from optiland_pr_tpu.system.optic import Optic
+    lens = Optic(name="polarized coated doublet")
+    lens.add_surface(index=0, radius=jnp.inf, thickness=jnp.inf)
+    lens.add_surface(index=1, radius=61.0, thickness=6.0, material="N-BK7",
+                     is_stop=True, coating="fresnel")
+    lens.add_surface(index=2, radius=-45.0, thickness=3.0,
+                     material=("F2", "schott"), coating="fresnel")
+    lens.add_surface(index=3, radius=-130.0, thickness=97.0,
+                     coating="fresnel")
+    lens.add_surface(index=4)
+    lens.set_aperture(aperture_type="EPD", value=18.0)
+    lens.set_field_type(field_type="angle")
+    lens.add_field(y=0)
+    lens.add_field(y=10)
+    lens.add_wavelength(value=0.5876, is_primary=True)
+    lens.set_polarization(PolarizationState(is_polarized=True, Ex=1.0,
+                                            Ey=0.0, phase_x=0.0,
+                                            phase_y=0.0))
+    model, params = lens.build()
+    assert supports_model(model)
+    params = _f32(params)
+    flags = model_flags(model, params)
+    Px, Py = _pupil(256)
+
+    def merit_of(rays):
+        ok = jnp.isfinite(rays.x) & jnp.isfinite(rays.y)
+        w = jnp.where(ok, rays.intensity, 0.0)
+        ws = jnp.maximum(jnp.sum(w), 1e-6)
+        xs = jnp.where(ok, rays.x, 0.0)
+        ys = jnp.where(ok, rays.y, 0.0)
+        mx = jnp.sum(xs * w) / ws
+        my = jnp.sum(ys * w) / ws
+        return jnp.sqrt(jnp.sum(w * ((xs - mx) ** 2 + (ys - my) ** 2)) / ws)
+
+    def merit_pallas(p):
+        rays = pallas_gen_trace_conic(model, p, Px, Py, 0.5876, Hy=0.7,
+                                      flags=flags, final_prop=True,
+                                      interpret=True, differentiable=True)
+        return merit_of(rays)
+
+    def merit_xla(p):
+        return merit_of(real_trace.trace(model, p, 0.0, 0.7, 0.5876, Px, Py))
+
+    vp, gp = jax.value_and_grad(merit_pallas)(params)
+    vx, gx = jax.value_and_grad(merit_xla)(params)
+    np.testing.assert_allclose(float(vp), float(vx), rtol=1e-3)
+    for (kp, lp), (_, lx) in zip(jax.tree_util.tree_leaves_with_path(gp),
+                                 jax.tree_util.tree_leaves_with_path(gx)):
+        lx = np.asarray(lx)
+        scale = max(np.max(np.abs(lx)), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(lp), lx, rtol=5e-3, atol=5e-3 * scale,
+            err_msg=f"polarized grad mismatch at {jax.tree_util.keystr(kp)}")
+
+
 def test_grad_parity_polychromatic():
     """3-wavelength bundle: cotangents accumulate across the wavelength grid
     axis into one dconsts/dgen."""

@@ -80,12 +80,19 @@ def test_supports_model_widened_scope():
     for build in (HubbleTelescope, _tilted_singlet, _coated_singlet):
         model, _ = build().build()
         assert supports_model(model), build.__name__
-    # still rejected: polarization-dependent coating
+    # round 3: Fresnel (polarization-dependent) coatings now run in-kernel
     lens = _coated_singlet()
     lens._surfaces[1]["coating"] = "fresnel"
     lens._dirty()
     model, _ = lens.build()
-    assert not supports_model(model)
+    assert supports_model(model)
+    # still rejected: grating interactions (XLA path)
+    lens2 = _coated_singlet()
+    lens2._surfaces[1]["surface_type"] = "plane_grating"
+    lens2._surfaces[1]["coating"] = None
+    lens2._dirty()
+    model2, _ = lens2.build()
+    assert not supports_model(model2)
 
 
 def test_hubble_gen_trace_parity():
@@ -334,3 +341,72 @@ def test_monochromatic_cooke_still_exact():
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(np.asarray(rays_k.opd), np.asarray(rays_x.opd),
                                rtol=1e-4, atol=2e-3)
+
+
+def _load_example(name):
+    import importlib.util
+    import pathlib
+    p = pathlib.Path(__file__).resolve().parent.parent / "examples" \
+        / f"{name}.py"
+    spec = importlib.util.spec_from_file_location(f"examples_{name}", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.mark.parametrize("hy", [0.0, 0.7])
+def test_polarized_gen_trace_parity(hy):
+    """BASELINE config #2 on the fast path (VERDICT r2 item 4): the
+    polarized + Fresnel-coated aspheric double Gauss through the in-kernel
+    real 3x3 Jones chain vs the XLA polarization path, f32."""
+    mod = _load_example("double_gauss_polarized")
+    lens = mod.build()
+    model, params = lens.build()
+    assert supports_model(model)     # polarized systems now in-kernel
+    params = _f32(params)
+    Px, Py = _pupil(512, seed=11)
+    rays_k = pallas_gen_trace_conic(model, params, Px, Py, 0.5876,
+                                    Hx=0.0, Hy=hy, final_prop=True,
+                                    block_rows=4, interpret=True)
+    rays_x = real_trace.trace(model, params, 0.0, hy, 0.5876, Px, Py)
+    np.testing.assert_allclose(np.asarray(rays_k.x), np.asarray(rays_x.x),
+                               rtol=1e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(rays_k.y), np.asarray(rays_x.y),
+                               rtol=1e-4, atol=5e-4)
+    # the polarized Fresnel transmission product is THE quantity here
+    np.testing.assert_allclose(np.asarray(rays_k.intensity),
+                               np.asarray(rays_x.intensity),
+                               rtol=5e-4, atol=5e-5)
+
+
+def test_polarized_unpolarized_state_parity():
+    """Unpolarized launch (state=None average of two projections) + mirror:
+    chain parity vs XLA on a coated fold system."""
+    lens = Optic(name="coated mirror relay")
+    lens.add_surface(index=0, radius=jnp.inf, thickness=jnp.inf)
+    lens.add_surface(index=1, radius=80.0, thickness=5.0, material="N-BK7",
+                     is_stop=True, coating="fresnel")
+    lens.add_surface(index=2, radius=-200.0, thickness=40.0,
+                     coating="fresnel")
+    lens.add_surface(index=3, radius=-120.0, thickness=-40.0,
+                     material="mirror")
+    lens.add_surface(index=4)
+    lens.set_aperture(aperture_type="EPD", value=18.0)
+    lens.set_field_type(field_type="angle")
+    lens.add_field(y=0)
+    lens.add_field(y=3)
+    lens.add_wavelength(value=0.55, is_primary=True)
+    lens.set_polarization("unpolarized")
+    model, params = lens.build()
+    assert supports_model(model)
+    params = _f32(params)
+    Px, Py = _pupil(256, seed=12)
+    rays_k = pallas_gen_trace_conic(model, params, Px, Py, 0.55,
+                                    Hx=0.0, Hy=1.0, final_prop=True,
+                                    block_rows=2, interpret=True)
+    rays_x = real_trace.trace(model, params, 0.0, 1.0, 0.55, Px, Py)
+    np.testing.assert_allclose(np.asarray(rays_k.y), np.asarray(rays_x.y),
+                               rtol=1e-4, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(rays_k.intensity),
+                               np.asarray(rays_x.intensity),
+                               rtol=5e-4, atol=5e-5)
