@@ -54,11 +54,14 @@ class IncoherentIrradiance:
         self.res = res
         self.data = []
         Px, Py = generate_distribution(distribution, num_rays)
+        from ..trace.engine import final_rays
         for f in fields:
             for wl in wavelengths:
                 if detector_surface == -1:
-                    rays = real_trace.trace(model, params, f[0], f[1], wl,
-                                            Px, Py)
+                    # engine-dispatched: the fused Pallas kernel when
+                    # eligible (the solar-concentrator workload traces 1e6+
+                    # rays per map)
+                    rays = final_rays(model, params, f[0], f[1], wl, Px, Py)
                     x, y, inten = rays.x, rays.y, rays.intensity
                 else:
                     _, hist = real_trace.trace(model, params, f[0], f[1], wl,
@@ -107,9 +110,10 @@ class RadiantIntensity:
             wavelengths = [optic.primary_wavelength]
         Px, Py = generate_distribution(distribution, num_rays)
         self.data = []
+        from ..trace.engine import final_rays
         for f in fields:
             for wl in wavelengths:
-                rays = real_trace.trace(model, params, f[0], f[1], wl, Px, Py)
+                rays = final_rays(model, params, f[0], f[1], wl, Px, Py)
                 # direction angles
                 ax_ang = jnp.rad2deg(jnp.arctan2(rays.L, rays.N))
                 ay_ang = jnp.rad2deg(jnp.arctan2(rays.M, rays.N))

@@ -61,21 +61,25 @@ def spot_diagram(model: OpticModel, params, fields=None, wavelengths=None,
         wavelengths = [float(w) for w in params["wavelengths"]]
     Px, Py = generate_distribution(distribution, num_rays)
 
-    Hx = jnp.asarray([f[0] for f in fields])
-    Hy = jnp.asarray([f[1] for f in fields])
+    # one engine-dispatched launch per field covering ALL wavelengths
+    # (trace/engine.py: the fused Pallas kernel's polychromatic grid axis
+    # when eligible, the vmapped XLA trace otherwise)
+    from ..trace.engine import final_rays
+    wls = jnp.asarray(wavelengths)
+    n = Px.shape[0]
+    W = len(wavelengths)
     xs, ys, Is = [], [], []
-    for wl in wavelengths:
-        rays = real_trace.trace(model, params, Hx, Hy, wl, Px, Py)
-        n = Px.shape[0]
-        xs.append(rays.x.reshape(len(fields), n))
-        ys.append(rays.y.reshape(len(fields), n))
-        Is.append(rays.intensity.reshape(len(fields), n))
+    for hx, hy in fields:
+        rays = final_rays(model, params, float(hx), float(hy), wls, Px, Py)
+        xs.append(rays.x.reshape(W, n))
+        ys.append(rays.y.reshape(W, n))
+        Is.append(rays.intensity.reshape(W, n))
     # primary wavelength anchors the centroid (reference
     # spot_diagram.py:100-113)
     prim = float(params["wavelengths"][model.primary_wavelength_idx])
     ref_idx = wavelengths.index(prim) if prim in wavelengths else 0
-    return SpotData(x=jnp.stack(xs, axis=1), y=jnp.stack(ys, axis=1),
-                    intensity=jnp.stack(Is, axis=1),
+    return SpotData(x=jnp.stack(xs, axis=0), y=jnp.stack(ys, axis=0),
+                    intensity=jnp.stack(Is, axis=0),
                     fields=tuple(fields), wavelengths=tuple(wavelengths),
                     ref_wl_idx=ref_idx)
 

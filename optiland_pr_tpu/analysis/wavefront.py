@@ -82,8 +82,17 @@ def wavefront_data(model: OpticModel, params, field, wavelength, Px, Py,
     n_image = n_arr[-1]
     hx, hy = field
 
-    # full pupil grid trace
-    rays = real_trace.trace_generic(model, params, hx, hy, Px, Py, wavelength)
+    # full pupil grid trace — engine-dispatched (trace/engine.py: the fused
+    # Pallas kernel when eligible). trace_generic semantics preserved: the
+    # vig pre-scale is applied here AND again inside ray generation (the
+    # reference applies it twice, real_ray_tracer.py:113-121 +
+    # ray_generator.py:49 — a reproduced quirk).
+    from ..trace.engine import final_rays
+    from ..trace.raygen import vig_factor
+    vx_, vy_ = vig_factor(model, params, hx, hy)
+    rays = final_rays(model, params, hx, hy, wavelength,
+                      jnp.asarray(Px) * (1 - vx_), jnp.asarray(Py) * (1 - vy_),
+                      final_prop=True)
 
     if strategy == "chief_ray":
         pupil_z = par.XPL() + pos[-1]

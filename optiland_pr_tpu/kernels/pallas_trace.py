@@ -558,14 +558,16 @@ def _q2d_sag_grad(c, acoef, terms: tuple, xx, yy):
     return s, gx, gy
 
 
-def _polar_update(p9, L0, M0, N0, L1, M1, N1, diag=None):
-    """Real 3x3 Jones-chain update (core/polarization.py
-    polarization_update_matrix; reference rays/polarized_rays.py:115-153):
-    rotate into the s/p basis of the interaction plane, apply the (diagonal,
-    real) Jones matrix, rotate out, compose onto the chain. With diag
-    (js, jp, j3) the surface matrix is rank-structured,
-        M = js s s^T + jp p1 p0^T + j3 k1 k0^T,
-    so the whole update is elementwise VPU math — no 3x3 materialization."""
+def _polar_update(evecs, L0, M0, N0, L1, M1, N1, diag=None):
+    """Real Jones-chain update (core/polarization.py
+    polarization_update_matrix; reference rays/polarized_rays.py:115-153)
+    applied DIRECTLY to the propagating E-field vectors: the surface matrix
+    is rank-structured, M = js s s^T + jp p1 p0^T + j3 k1 k0^T, so instead
+    of composing a per-ray 3x3 chain (81 FMA/surface) each E vector updates
+    as E' = js (s.E) s + jp (p0.E) p1 + j3 (k0.E) k1 (~20 FMA) — the final
+    intensity only ever needs the chain applied to the (at most two) launch
+    field vectors, and matrix-chain and vector-propagation orderings are
+    algebraically identical."""
     sx = M0 * N1 - N0 * M1
     sy = N0 * L1 - L0 * N1
     sz = L0 * M1 - M0 * L1
@@ -591,18 +593,14 @@ def _polar_update(p9, L0, M0, N0, L1, M1, N1, diag=None):
         js = jp = j3 = 1.0
     else:
         js, jp, j3 = diag
-    ss = (js * sx, js * sy, js * sz)
-    pp = (jp * p1x, jp * p1y, jp * p1z)
-    kk = (j3 * L1, j3 * M1, j3 * N1)
-    rows_b = ((sx, sy, sz), (p0x, p0y, p0z), (L0, M0, N0))
-    # M[a][b] = ss[a]*s[b] + pp[a]*p0[b] + kk[a]*k0[b]; out = M @ p9
     out = []
-    for a in range(3):
-        Ma = [ss[a] * rows_b[0][b] + pp[a] * rows_b[1][b]
-              + kk[a] * rows_b[2][b] for b in range(3)]
-        for b in range(3):
-            out.append(Ma[0] * p9[0 * 3 + b] + Ma[1] * p9[1 * 3 + b]
-                       + Ma[2] * p9[2 * 3 + b])
+    for (ex, ey, ez) in evecs:
+        ds = js * (sx * ex + sy * ey + sz * ez)
+        dp = jp * (p0x * ex + p0y * ey + p0z * ez)
+        dk = j3 * (L0 * ex + M0 * ey + N0 * ez)
+        out.append((ds * sx + dp * p1x + dk * L1,
+                    ds * sy + dp * p1y + dk * M1,
+                    ds * sz + dp * p1z + dk * N1))
     return tuple(out)
 
 
@@ -623,12 +621,12 @@ def _fresnel_diag(n1, n2, cos_i, is_refl: bool):
     return js, jp, 1.0
 
 
-def _polar_intensity(p9, state, L0, M0, N0):
-    """Final intensity from the accumulated chain (reference
-    polarized_rays.update_intensity — overwrites from the chain and the
-    LAUNCH intensity, which is 1 on this path; core/polarization.py
-    update_intensity). A complex launch state decomposes into two real
-    projections since the chain is real."""
+def _polar_init(state, L0, M0, N0):
+    """Launch E-field vectors for the propagated-vector chain (reference
+    polarized_rays._get_3d_electric_field): returns (evecs, scale) where the
+    final intensity is scale * sum |E_final|^2. A complex launch state
+    decomposes into real + imaginary projections (the chain is real); a
+    LINEAR state needs only one vector, the unpolarized average two."""
     # launch basis: p = cross(k, x)/|.| = (0, N0, -M0)/|.|, s = cross(p, k)
     pxv = jnp.zeros_like(L0)
     pyv = N0
@@ -640,23 +638,32 @@ def _polar_intensity(p9, state, L0, M0, N0):
     syv = pzv * L0 - pxv * N0
     szv = pxv * M0 - pyv * L0
 
-    def through_sq(ex_s, ey_p):
-        ex = ex_s * sxv + ey_p * pxv
-        ey = ex_s * syv + ey_p * pyv
-        ez = ex_s * szv + ey_p * pzv
-        o0 = p9[0] * ex + p9[1] * ey + p9[2] * ez
-        o1 = p9[3] * ex + p9[4] * ey + p9[5] * ez
-        o2 = p9[6] * ex + p9[7] * ey + p9[8] * ez
-        return o0 * o0 + o1 * o1 + o2 * o2
+    def vec(ex_s, ey_p):
+        return (ex_s * sxv + ey_p * pxv,
+                ex_s * syv + ey_p * pyv,
+                ex_s * szv + ey_p * pzv)
 
     if state is None or isinstance(state, str) or not state.is_polarized:
-        return (through_sq(1.0, 0.0) + through_sq(0.0, 1.0)) * 0.5
+        return (vec(1.0, 0.0), vec(0.0, 1.0)), 0.5
     import math
     exr = state.Ex * math.cos(state.phase_x)
     exi = state.Ex * math.sin(state.phase_x)
     eyr = state.Ey * math.cos(state.phase_y)
     eyi = state.Ey * math.sin(state.phase_y)
-    return through_sq(exr, eyr) + through_sq(exi, eyi)
+    if exi == 0.0 and eyi == 0.0:
+        return (vec(exr, eyr),), 1.0
+    return (vec(exr, eyr), vec(exi, eyi)), 1.0
+
+
+def _polar_intensity(evecs, scale):
+    """Final intensity from the propagated field vectors (reference
+    polarized_rays.update_intensity — overwrites from the chain and the
+    LAUNCH intensity, which is 1 on this path)."""
+    total = None
+    for (ex, ey, ez) in evecs:
+        sq = ex * ex + ey * ey + ez * ez
+        total = sq if total is None else total + sq
+    return total * scale
 
 
 def _freeform_sag_grad(gkind: str, nu: int, nv: int, c, acoef, xx, yy,
@@ -764,7 +771,7 @@ def _freeform_sag_grad(gkind: str, nu: int, nv: int, c, acoef, xx, yy,
 
 
 def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None,
-                  p9=None, *,
+                  evecs=None, *,
                   is_plane: bool, is_refl: bool, absorbing: bool, acoef=None,
                   gkind: str = "conic", nu: int = 0, nv: int = 0,
                   has_cs: bool = False, has_ap: bool = False,
@@ -932,7 +939,7 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None,
     # local-frame pre-interaction directions feed the polarization chain
     # (trace/real.py: apply_polarization_update BEFORE globalize, matching
     # the reference's frame-mixing convention)
-    if p9 is not None:
+    if evecs is not None:
         L_pre, M_pre, N_pre = L, M, N
     cos_i = None
 
@@ -941,7 +948,7 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None,
         _, gx, gy = _freeform_sag_grad(gkind, nu, nv, c, acoef, x, y, gextra)
         inv_mag = jax.lax.rsqrt(gx * gx + gy * gy + 1.0)
         nx, ny, nz = gx * inv_mag, gy * inv_mag, -inv_mag
-        if p9 is not None:
+        if evecs is not None:
             cos_i = jnp.abs(L * nx + M * ny + N * nz)
         L, M, N, valid = _interact(nx, ny, nz, L, M, N, valid)
     elif gkind == "fresnel_designed":
@@ -957,17 +964,17 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None,
         dfdy = mslope * y / r_safe
         inv_mag = jax.lax.rsqrt(dfdx * dfdx + dfdy * dfdy + 1.0)
         nx, ny, nz = dfdx * inv_mag, dfdy * inv_mag, -inv_mag
-        if p9 is not None:
+        if evecs is not None:
             cos_i = jnp.abs(L * nx + M * ny + N * nz)
         L, M, N, valid = _interact(nx, ny, nz, L, M, N, valid)
     elif is_plane and is_refl:
         # flat mirror, normal (0, 0, -1): d -> d - 2(d.n)n flips N only
-        if p9 is not None:
+        if evecs is not None:
             cos_i = jnp.abs(N)
         N = -N
     elif is_plane:
         # flat interface: Snell with normal (0, 0, 1)
-        if p9 is not None:
+        if evecs is not None:
             cos_i = jnp.abs(N)
         u = n1 / n2
         disc_r = 1.0 - u * u * (1.0 - N * N)
@@ -988,15 +995,15 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None,
         dfdy = y * radius_inv * inv_root
         inv_mag = jax.lax.rsqrt(dfdx * dfdx + dfdy * dfdy + 1.0)
         nx, ny, nz = dfdx * inv_mag, dfdy * inv_mag, -inv_mag
-        if p9 is not None:
+        if evecs is not None:
             cos_i = jnp.abs(L * nx + M * ny + N * nz)
         L, M, N, valid = _interact(nx, ny, nz, L, M, N, valid)
 
     # ---- polarization chain (reference interactions/base.py:111-127:
     # coating.interact -> rays.update(jones), or rays.update() bare) --------
-    if p9 is not None:
+    if evecs is not None:
         diag = _fresnel_diag(n1, n2, cos_i, is_refl) if fresnel_coat else None
-        p9 = _polar_update(p9, L_pre, M_pre, N_pre, L, M, N, diag)
+        evecs = _polar_update(evecs, L_pre, M_pre, N_pre, L, M, N, diag)
 
     # ---- scalar coating intensity factor (system/coatings.py SimpleCoating,
     # applied post-interaction like trace/real.py:121-126) ------------------
@@ -1017,8 +1024,8 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None,
     ret = [x, y, z, L, M, N, inten, opd, valid]
     if opd_c is not None:
         ret.append(opd_c)
-    if p9 is not None:
-        ret.append(p9)
+    if evecs is not None:
+        ret.append(evecs)
     return tuple(ret)
 
 
@@ -1198,28 +1205,29 @@ def _gen_pipeline(gen, c_all, a_all, Px, Py, *, flags: tuple,
     opd = jnp.zeros_like(Px)
     opd_c = jnp.zeros_like(Px) if kahan else None
     valid = jnp.ones(Px.shape, dtype=bool)
-    p9 = None
+    evecs = None
+    pol_scale = 1.0
     if polar_state is not None:
-        one = jnp.ones_like(Px)
-        zero = jnp.zeros_like(Px)
-        p9 = (one, zero, zero, zero, one, zero, zero, zero, one)
-        L0g, M0g, N0g = L, M, N   # launch dirs feed the final intensity
+        # launch field vectors, propagated through every surface's
+        # rank-structured Jones update (cheaper than composing the 3x3
+        # chain; the final intensity is just sum |E|^2)
+        evecs, pol_scale = _polar_init(polar_state, L, M, N)
 
     for k, flag in enumerate(flags):
         out = _surface_step(
-            c_all[k, :], x, y, z, L, M, N, inten, opd, valid, opd_c, p9,
+            c_all[k, :], x, y, z, L, M, N, inten, opd, valid, opd_c, evecs,
             acoef=a_all[k, :], **_step_kwargs(flag))
         x, y, z, L, M, N, inten, opd, valid = out[:9]
         rest = out[9:]
         if kahan:
             opd_c, rest = rest[0], rest[1:]
-        if p9 is not None:
-            p9 = rest[0]
+        if evecs is not None:
+            evecs = rest[0]
     if polar_state is not None:
         # reference quirk, kept for parity (polarized_rays.update_intensity):
         # final intensity comes from the chain and the LAUNCH intensity,
         # overwriting per-surface aperture/coating factors
-        inten = _polar_intensity(p9, polar_state, L0g, M0g, N0g)
+        inten = _polar_intensity(evecs, pol_scale)
     if final_prop:
         t_img = gen[6]
         x = x + t_img * L

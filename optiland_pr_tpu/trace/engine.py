@@ -25,6 +25,12 @@ __all__ = ["final_rays", "pallas_eligible", "set_engine", "engine_override"]
 
 _FORCE: str | None = None   # None | "auto" | "xla" | "pallas" | "pallas_interpret"
 
+# "auto" dispatch threshold: below this many rays the fused kernel's launch
+# overhead + lane padding (one block = block_rows x 128 rays) costs more than
+# the XLA trace saves — measured on the 50-variable merit bench, whose
+# 12-ray operand bundles ran 1.8x SLOWER through pallas (BENCHMARKS.md r3)
+_PALLAS_MIN_RAYS = 4096
+
 
 def set_engine(mode: str | None):
     """Pin the engine globally (tests / debugging). None restores "auto"."""
@@ -104,7 +110,9 @@ def final_rays(model, params, Hx, Hy, wavelength, Px, Py, *,
     if mode in ("auto", "pallas", "pallas_interpret"):
         ok = pallas_eligible(model, Hx, Hy, apodization)
         if mode == "auto":
-            use_pallas = ok and _on_accelerator()
+            n_rays = int(jnp.shape(jnp.asarray(Px))[-1])  # static under jit
+            use_pallas = ok and _on_accelerator() \
+                and n_rays >= _PALLAS_MIN_RAYS
         elif not ok:
             raise ValueError(
                 "system/call not eligible for the fused Pallas kernel")

@@ -428,3 +428,33 @@ def test_trace_engine_dispatch_cpu():
                      wavelength=0.55, num_rays=6, distribution="line_y",
                      engine="auto")
     assert np.isfinite(np.asarray(out.x)).all()
+
+
+def test_autolens_json_roundtrip():
+    """AutoLens interchange (the fork's integration surface; reference
+    optiland_autolens_integration.py:109-170): export -> import preserves the
+    prescription and first-order properties, and the shipped reference
+    artifact loads."""
+    import json
+    from optiland_pr_tpu.fileio import (autolens_to_optic, optic_to_autolens)
+    from optiland_pr_tpu.samples import CookeTriplet
+
+    lens = CookeTriplet()
+    data = optic_to_autolens(lens)
+    assert data["surfaces"][0]["thickness"] == "infinity"
+    assert len(data["wavelengths"]) == len(lens.wavelengths)
+    back = autolens_to_optic(json.loads(json.dumps(data)))
+    np.testing.assert_allclose(float(back.paraxial.f2()),
+                               float(lens.paraxial.f2()), rtol=1e-10)
+    np.testing.assert_allclose(float(back.paraxial.EPD()),
+                               float(lens.paraxial.EPD()), rtol=1e-10)
+
+    # the fork's shipped artifact parses and builds
+    path = ("/root/reference/integrated_analysis_20251211_010713/"
+            "fresnel_autolens_format.json")
+    with open(path) as f:
+        art = json.load(f)
+    ext = autolens_to_optic(art)
+    model, params = ext.build()
+    assert model.num_surfaces == 4
+    assert float(ext.ap_value) == 1200.0

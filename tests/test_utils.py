@@ -18,8 +18,10 @@ def test_time_best_and_throughput():
     assert dt > 0
     res = throughput(step, x, n_rays=1024, n_surfaces=7, n_wavelengths=3,
                      reps=3, rounds=2)
-    assert res["rays_per_s"] == 3 * 1024 / res["s_per_call"]
-    assert res["ray_surfaces_per_s"] == 7 * res["rays_per_s"]
+    np.testing.assert_allclose(res["rays_per_s"],
+                               3 * 1024 / res["s_per_call"], rtol=1e-12)
+    np.testing.assert_allclose(res["ray_surfaces_per_s"],
+                               7 * res["rays_per_s"], rtol=1e-12)
 
 
 def test_trace_profiler_writes_trace(tmp_path):
