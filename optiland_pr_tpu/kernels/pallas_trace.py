@@ -558,7 +558,8 @@ def _q2d_sag_grad(c, acoef, terms: tuple, xx, yy):
     return s, gx, gy
 
 
-def _polar_update(evecs, L0, M0, N0, L1, M1, N1, diag=None):
+def _polar_update(evecs, L0, M0, N0, L1, M1, N1, diag=None,
+                  refract_only: bool = False):
     """Real Jones-chain update (core/polarization.py
     polarization_update_matrix; reference rays/polarized_rays.py:115-153)
     applied DIRECTLY to the propagating E-field vectors: the surface matrix
@@ -568,6 +569,25 @@ def _polar_update(evecs, L0, M0, N0, L1, M1, N1, diag=None):
     intensity only ever needs the chain applied to the (at most two) launch
     field vectors, and matrix-chain and vector-propagation orderings are
     algebraically identical."""
+    if diag is None and refract_only:
+        # Bare-surface update is the pure rotation about u = k0 x k1 taking
+        # k0 -> k1; Rodrigues with UNNORMALIZED u needs no rsqrt, no s/p
+        # basis and no normal-incidence fallback:
+        #   E' = cos(t) E + u x E + u (u.E)/(1 + cos(t)).
+        # Refraction never deflects >= 90 deg, so 1 + cos(t) >= 1; mirrors
+        # (possible 180-deg normal-incidence reflection) keep the s/p path.
+        ux = M0 * N1 - N0 * M1
+        uy = N0 * L1 - L0 * N1
+        uz = L0 * M1 - M0 * L1
+        ct = L0 * L1 + M0 * M1 + N0 * N1
+        inv1c = 1.0 / (1.0 + ct)
+        out = []
+        for (ex, ey, ez) in evecs:
+            ue = (ux * ex + uy * ey + uz * ez) * inv1c
+            out.append((ct * ex + (uy * ez - uz * ey) + ux * ue,
+                        ct * ey + (uz * ex - ux * ez) + uy * ue,
+                        ct * ez + (ux * ey - uy * ex) + uz * ue))
+        return tuple(out)
     sx = M0 * N1 - N0 * M1
     sy = N0 * L1 - L0 * N1
     sz = L0 * M1 - M0 * L1
@@ -1003,7 +1023,8 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None,
     # coating.interact -> rays.update(jones), or rays.update() bare) --------
     if evecs is not None:
         diag = _fresnel_diag(n1, n2, cos_i, is_refl) if fresnel_coat else None
-        evecs = _polar_update(evecs, L_pre, M_pre, N_pre, L, M, N, diag)
+        evecs = _polar_update(evecs, L_pre, M_pre, N_pre, L, M, N, diag,
+                              refract_only=not is_refl)
 
     # ---- scalar coating intensity factor (system/coatings.py SimpleCoating,
     # applied post-interaction like trace/real.py:121-126) ------------------
