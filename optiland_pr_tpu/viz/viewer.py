@@ -25,8 +25,18 @@ class OpticViewer:
         self.optic = optic
 
     def view(self, fields="all", wavelength=None, num_rays: int = 3,
-             distribution: str = "line_y", figsize=(10, 4), title=None):
+             distribution: str = "line_y", figsize=(10, 4), title=None,
+             theme=None, interactive: bool = True):
+        """Draw the system. ``theme``: a name from viz.themes.THEMES or a
+        Theme; ``interactive``: attach the hover InteractionManager (surface
+        prescriptions and ray field/wavelength on mouse-over — reference
+        visualization/system/ interaction layer)."""
         import matplotlib.pyplot as plt
+        from .interaction import InteractionManager
+        from .themes import THEMES, get_theme
+
+        t = get_theme() if theme is None else (
+            THEMES[theme] if isinstance(theme, str) else theme)
         optic = self.optic
         model, params = optic.build()
         wavelength = wavelength or optic.primary_wavelength
@@ -34,21 +44,51 @@ class OpticViewer:
         par = Paraxial(model, params)
 
         fig, ax = plt.subplots(figsize=figsize)
+        fig.patch.set_facecolor(t.background)
+        ax.set_facecolor(t.axes_face)
+        for spine in ax.spines.values():
+            spine.set_color(t.text)
+        ax.tick_params(colors=t.text)
+        if t.grid:
+            ax.grid(True, alpha=0.25)
+        im = InteractionManager(fig, ax, t) if interactive else None
 
         # semi-apertures from marginal + chief ray heights
         ya, _ = par.marginal_ray()
         yb, _ = par.chief_ray()
         semi = np.abs(np.asarray(ya)).ravel() + np.abs(np.asarray(yb)).ravel()
 
+        def profile(k, r_max):
+            yy = np.linspace(-r_max, r_max, 64)
+            sp = params["surfaces"][k]
+            sag = np.asarray(model.surfaces[k].geometry.sag(
+                sp["geom"], np.zeros_like(yy), yy))
+            return pos[k] + sag, yy
+
+        # glass bodies: filled region between consecutive glass surfaces
+        for k in range(1, model.num_surfaces - 1):
+            spec = model.surfaces[k]
+            if spec.material_src == k and spec.material.kind != "ideal":
+                r_edge = max(semi[k], semi[k + 1], 1e-6)
+                z1, yy = profile(k, r_edge)
+                z2, _ = profile(k + 1, r_edge)
+                ax.fill_betweenx(yy, z1, z2, color=t.glass_fill,
+                                 alpha=t.glass_alpha, lw=0)
+
         # surface profiles
         for k in range(1, model.num_surfaces):
             spec = model.surfaces[k]
             sp = params["surfaces"][k]
-            r_max = max(semi[k] * 1.1, 1e-6)
-            yy = np.linspace(-r_max, r_max, 64)
-            sag = np.asarray(spec.geometry.sag(sp["geom"],
-                                               np.zeros_like(yy), yy))
-            ax.plot(pos[k] + sag, yy, "k-", lw=1.0)
+            zz, yy = profile(k, max(semi[k] * 1.1, 1e-6))
+            color = t.mirror if spec.is_reflective else t.surface
+            (line,) = ax.plot(zz, yy, "-", color=color, lw=1.0)
+            if im is not None:
+                radius = float(np.asarray(sp["geom"].get("radius", np.inf)))
+                im.register(line, (
+                    f"surface {k} ({spec.geometry.kind})\n"
+                    f"R = {radius:.4g} mm, t = "
+                    f"{float(np.asarray(sp['thickness'])):.4g} mm"
+                    + ("  [stop]" if spec.is_stop else "")))
 
         # lens edges: connect consecutive glass surfaces
         for k in range(1, model.num_surfaces - 1):
@@ -61,23 +101,29 @@ class OpticViewer:
                     s2 = float(model.surfaces[k + 1].geometry.sag(
                         params["surfaces"][k + 1]["geom"], 0.0, sgn * r_edge))
                     ax.plot([pos[k] + s1, pos[k + 1] + s2],
-                            [sgn * r_edge, sgn * r_edge], "k-", lw=0.8)
+                            [sgn * r_edge, sgn * r_edge], "-",
+                            color=t.surface, lw=0.8)
 
         # ray fans per field
         if fields == "all":
             fields = field_coords(params)
         Px, Py = generate_distribution(distribution, num_rays)
-        colors = plt.cm.viridis(np.linspace(0, 0.9, len(fields)))
+        colors = plt.get_cmap(t.ray_cmap)(np.linspace(0, 0.9, len(fields)))
         for f, color in zip(fields, colors):
             _, hist = real_trace.trace(model, params, f[0], f[1], wavelength,
                                        Px, Py, record=True)
             z = np.asarray(hist.z)
             y = np.asarray(hist.y)
-            ax.plot(z, y, "-", color=color, lw=0.7)
+            lines = ax.plot(z, y, "-", color=color, lw=0.7)
+            if im is not None:
+                for line in lines:
+                    im.register(line, (
+                        f"field (Hx, Hy) = ({float(f[0]):.3g}, "
+                        f"{float(f[1]):.3g})\nwavelength {wavelength} um"))
 
-        ax.set_xlabel("z (mm)")
-        ax.set_ylabel("y (mm)")
-        ax.set_title(title or optic.name or "Optical system")
+        ax.set_xlabel("z (mm)", color=t.text)
+        ax.set_ylabel("y (mm)", color=t.text)
+        ax.set_title(title or optic.name or "Optical system", color=t.text)
         ax.set_aspect("equal", adjustable="datalim")
         return fig, ax
 

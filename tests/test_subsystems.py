@@ -458,3 +458,25 @@ def test_autolens_json_roundtrip():
     model, params = ext.build()
     assert model.num_surfaces == 4
     assert float(ext.ap_value) == 1200.0
+
+
+def test_viewer_themes_and_interaction():
+    """Viewer theming + hover interaction layer (reference
+    visualization/system/ themes + InteractionManager, compact form)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from optiland_pr_tpu.viz import THEMES, set_theme, get_theme, OpticViewer
+    assert set(THEMES) >= {"light", "dark", "classic"}
+    set_theme("dark")
+    assert get_theme().name == "dark"
+    lens = CookeTriplet()
+    fig, ax = OpticViewer(lens).view(num_rays=3, theme="dark",
+                                     interactive=True)
+    assert fig.patch.get_facecolor() != (1.0, 1.0, 1.0, 1.0)
+    # hover payloads registered for surfaces + rays
+    texts = [t for t in ax.texts]
+    assert len(ax.lines) > 7
+    set_theme("light")
+    fig2, _ = OpticViewer(lens).view(num_rays=3, interactive=False)
+    import matplotlib.pyplot as plt
+    plt.close("all")
