@@ -81,11 +81,15 @@ def polarization_update_matrix(L0, M0, N0, L1, M1, N1, jones=None):
     o_in = jnp.stack((s, p0, k0), axis=-2)    # rows: s, p, k
     o_out = jnp.stack((s, p1, k1), axis=-1)   # columns: s, p, k
 
+    # precision="highest": on TPU the MXU's default matmul runs bf16 passes
+    # (~3 decimal digits) — measured 1e-2..6e-2 intensity error through a
+    # 12-surface chain; these are 3x3 products, full f32 costs nothing
     if jones is None:
-        return jnp.matmul(o_out, o_in)
+        return jnp.matmul(o_out, o_in, precision="highest")
     o_out = o_out.astype(jones.dtype)
     o_in = o_in.astype(jones.dtype)
-    return jnp.matmul(o_out, jnp.matmul(jones, o_in))
+    return jnp.matmul(o_out, jnp.matmul(jones, o_in, precision="highest"),
+                      precision="highest")
 
 
 def apply_polarization_update(p_chain, L0, M0, N0, L1, M1, N1, jones=None):
@@ -93,7 +97,7 @@ def apply_polarization_update(p_chain, L0, M0, N0, L1, M1, N1, jones=None):
     p_surf = polarization_update_matrix(L0, M0, N0, L1, M1, N1, jones)
     if p_chain.dtype != p_surf.dtype:
         p_chain = p_chain.astype(p_surf.dtype)
-    return jnp.matmul(p_surf, p_chain)
+    return jnp.matmul(p_surf, p_chain, precision="highest")
 
 
 def _initial_field(state: PolarizationState, L0, M0, N0, dtype):
@@ -116,7 +120,7 @@ def update_intensity(p_chain, state: PolarizationState | None, i0, L0, M0, N0):
     pc = p_chain.astype(cdtype)
 
     def through(E):
-        return jnp.einsum("...ij,...j->...i", pc, E)
+        return jnp.einsum("...ij,...j->...i", pc, E, precision="highest")
 
     if state is not None and state.is_polarized:
         E1 = through(_initial_field(state, L0, M0, N0, cdtype))
