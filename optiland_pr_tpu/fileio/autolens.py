@@ -47,13 +47,18 @@ def optic_to_autolens(optic) -> dict:
                 else f"{mat[0]}@{mat[1]}"
         else:
             mat_name = "air"
-        surfaces.append({
+        entry = {
             "index": i,
             "radius": _num(e["radius"]),
             "thickness": _num(e["thickness"]),
             "material": mat_name,
             "conic": float(np.asarray(e["conic"])),
-        })
+        }
+        # the reference schema is lossy here, but our reader honors the key:
+        # emit it so a central-stop system self round-trips faithfully
+        if e.get("is_stop"):
+            entry["aperture_stop"] = True
+        surfaces.append(entry)
     return {
         "lens_name": optic.name or "optiland_pr_tpu_export",
         "surfaces": surfaces,

@@ -48,7 +48,15 @@ def _bwd_rows(num_surfaces: int, block_rows: int) -> int:
     # would make the grid rows // bwd_rows == 0 — an empty launch whose
     # outputs are uninitialized garbage.
     if _BWD_ENV:
-        return max(1, min(int(_BWD_ENV), block_rows))
+        # round DOWN to a power of two <= block_rows: the padded row count is
+        # a multiple of block_rows (a power of two), so any non-divisor env
+        # value would truncate grid = rows // bwd_rows and silently drop the
+        # trailing rows' cotangents
+        env = max(1, min(int(_BWD_ENV), block_rows))
+        pow2 = 1
+        while pow2 * 2 <= env:
+            pow2 *= 2
+        return pow2
     rows = _BWD_ROW_SURFACE_BUDGET // max(num_surfaces, 1)
     pow2 = 8
     while pow2 * 2 <= rows:

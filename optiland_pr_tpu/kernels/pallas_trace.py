@@ -18,12 +18,17 @@ surfaces/standard_surface.py:186-287):
 - absorption in the pre-material (Beer-Lambert),
 - polychromatic bundles: the grid gains a wavelength axis; each block is
   monochromatic with its own per-surface index/absorption constants, so no
-  per-ray gathers ever happen.
-Non-conic geometries intersect in-kernel: conic warm start + _NEWTON_ITERS
-fixed Newton steps on the statically-dispatched freeform sag (value path
-only; gradients use the XLA trace with implicit-diff Newton). The general
-path (Zernike/Forbes/NURBS/grid sags, gratings, phase surfaces, polarization,
-GRIN, BSDFs) stays on XLA.
+  per-ray gathers ever happen,
+- freeform sags (even/odd asphere, XY-polynomial, Chebyshev, biconic,
+  toroidal, Zernike, Forbes Qbfs/Q2D, Fresnel zone/designed): conic warm
+  start + _NEWTON_ITERS fixed Newton steps on the statically-dispatched sag,
+  with one final differentiable IFT step,
+- polarization: the full Jones chain runs in-kernel as a rank-structured
+  real update on the propagating E-vectors (none/simple/fresnel coatings),
+- gradients: the whole pipeline is differentiable via the custom_vjp
+  backward kernel in pallas_grad.py (``differentiable=True``).
+Only NURBS/grid sags, gratings, phase surfaces, GRIN media, BSDF scatter
+and thin-lens interactions stay on the XLA path (see supports_model).
 
 Surface constants are packed into a [S, 32] array (or [W, S, 32] for W
 wavelengths); the kernel receives it whole in VMEM and reads scalars per

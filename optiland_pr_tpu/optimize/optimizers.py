@@ -103,7 +103,9 @@ class LeastSquares(OptimizerGeneric):
                               for op in problem.operands])
 
         res_jit = jax.jit(residuals_of_vector)
-        jac_jit = jax.jit(jax.jacfwd(residuals_of_vector))
+        # jacrev: operand traces may ride the custom_vjp Pallas kernel,
+        # which forward-mode AD (jacfwd) cannot differentiate through
+        jac_jit = jax.jit(jax.jacrev(residuals_of_vector))
 
         x0 = np.asarray(problem.x0(), dtype=np.float64)
         lo, hi = problem.variables.bounds()

@@ -193,7 +193,10 @@ class Tolerancing:
         # always a DESCENT direction of the squared loss, so it cannot lock
         # onto the v' = 0 stationary point (a local max of (v-t)^2 between
         # the two v = t roots) the way a plain Newton-on-the-loss does.
-        jac_fn = jax.jacfwd(resid_fn)
+        # jacrev, not jacfwd: operands may route through the custom_vjp
+        # Pallas kernel (trace/engine.py), which has no JVP rule; the
+        # compensator count is tiny so reverse-mode is as cheap.
+        jac_fn = jax.jacrev(resid_fn)
 
         def gn_body(i, x):
             r = resid_fn(x, params)

@@ -336,3 +336,30 @@ def test_kahan_opd_f32_error():
     ep_h, ek_h = _f32_opd_errors(HubbleTelescope, 0.55)   # 18.6e3-mm path
     assert ek_h <= ep_h * 1.001
     assert ek_h < 2.5e-3  # documented bound: f32 ulp-limited at meter scale
+
+
+def test_jacrev_through_pallas_dispatch():
+    """ADVICE r3 (medium): forward-mode AD (jacfwd) cannot differentiate the
+    custom_vjp kernel, so every Jacobian on a possibly-Pallas-routed residual
+    (tolerancing GN polish, scipy LeastSquares) must use jacrev. Pin that
+    reverse-mode works through the forced kernel dispatch."""
+    from optiland_pr_tpu.samples import CookeTriplet
+    model, params = CookeTriplet().build()
+    params = _f32(params)
+    Px, Py = _pupil(256)
+
+    def resid(radius):
+        p = jax.tree_util.tree_map(lambda a: a, params)
+        p["surfaces"][1]["geom"]["radius"] = radius
+        rays = final_rays(model, p, 0.0, 0.0, 0.55, Px, Py)
+        return jnp.stack([_masked_rms(rays.x, rays.y)])
+
+    r0 = params["surfaces"][1]["geom"]["radius"]
+    with engine_override("pallas_interpret"):
+        J = jax.jacrev(resid)(r0)
+        with pytest.raises(TypeError):
+            jax.jacfwd(resid)(r0)
+    with engine_override("xla"):
+        Jx = jax.jacrev(resid)(r0)
+    np.testing.assert_allclose(np.asarray(J), np.asarray(Jx), rtol=5e-3,
+                               atol=1e-6)

@@ -480,3 +480,19 @@ def test_viewer_themes_and_interaction():
     fig2, _ = OpticViewer(lens).view(num_rays=3, interactive=False)
     import matplotlib.pyplot as plt
     plt.close("all")
+
+
+def test_autolens_stop_roundtrip():
+    """ADVICE r3: the exporter emits 'aperture_stop' so a central-stop system
+    self round-trips with the SAME stop surface (the reader's default would
+    otherwise flag surface 1)."""
+    import json
+    from optiland_pr_tpu.fileio import autolens_to_optic, optic_to_autolens
+    from optiland_pr_tpu.samples import DoubleGauss
+
+    lens = DoubleGauss()
+    model, _ = lens.build()
+    assert model.stop_index != 1  # central stop — the interesting case
+    back = autolens_to_optic(json.loads(json.dumps(optic_to_autolens(lens))))
+    bmodel, _ = back.build()
+    assert bmodel.stop_index == model.stop_index
