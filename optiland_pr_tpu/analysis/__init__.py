@@ -1,4 +1,5 @@
-from .spot import SpotData, SpotDiagram, spot_diagram, encircled_energy
+from .spot import (SpotData, SpotDiagram, spot_diagram,
+                   encircled_energy, EncircledEnergy)
 from .wavefront import (Wavefront, WavefrontData, OPD, OPDFan, ZernikeOPD,
                         wavefront_data, fit_and_remove_tilt)
 from .psf import FFTPSF, HuygensPSF, calculate_grid_size
@@ -11,6 +12,7 @@ from .irradiance import IncoherentIrradiance, RadiantIntensity, irradiance_histo
 from .psf_mtf_extra import MMDFTPSF, SampledMTF, HuygensMTF, ThroughFocusMTF
 
 __all__ = ["SpotData", "SpotDiagram", "spot_diagram", "encircled_energy",
+           "EncircledEnergy",
            "Wavefront", "WavefrontData", "OPD", "OPDFan", "ZernikeOPD", "wavefront_data",
            "fit_and_remove_tilt", "FFTPSF", "HuygensPSF", "calculate_grid_size",
            "FFTMTF", "GeometricMTF", "RayFan", "Distortion", "GridDistortion",

@@ -16,7 +16,8 @@ from ..system.model import OpticModel, field_coords
 from ..trace import real as real_trace
 from ..trace.paraxial import Paraxial, system_arrays
 
-__all__ = ["SpotData", "spot_diagram", "SpotDiagram", "encircled_energy"]
+__all__ = ["SpotData", "spot_diagram", "SpotDiagram", "encircled_energy",
+           "EncircledEnergy"]
 
 
 @dataclasses.dataclass
@@ -151,3 +152,70 @@ class SpotDiagram:
             ax.set_aspect("equal")
             ax.legend(fontsize=6)
         return fig, axs
+
+
+class EncircledEnergy(SpotDiagram):
+    """Encircled-energy analysis (reference analysis/encircled_energy.py:23):
+    a SpotDiagram whose curve EE(r) is the summed ray energy within radius r
+    of the field centroid, swept over ``num_points`` radii up to 1.2x the
+    largest geometric spot radius (the reference's _plot_field contract)."""
+
+    def __init__(self, optic, fields="all", wavelength="primary",
+                 num_rays: int = 100_000, distribution: str = "random",
+                 num_points: int = 256):
+        self.num_points = int(num_points)
+        if isinstance(wavelength, (int, float)):
+            wavelengths = [float(wavelength)]
+        elif wavelength == "primary":
+            wavelengths = [float(optic.primary_wavelength)]
+        elif wavelength == "all":
+            wavelengths = "all"
+        else:
+            raise TypeError(f"Unsupported wavelength: {wavelength}. "
+                            "Expected 'primary', 'all', or a number.")
+        super().__init__(optic, fields=fields, wavelengths=wavelengths,
+                         num_rings=num_rays, distribution=distribution)
+
+    def radii(self):
+        """The radius sweep: num_points values in [0, 1.2 * max geometric
+        spot radius] (reference encircled_energy.py:146-149)."""
+        axis_lim = jnp.max(self.data.geometric_spot_radius())
+        return jnp.linspace(0.0, axis_lim * 1.2, self.num_points)
+
+    def energy_curves(self):
+        """Absolute encircled energy [F, W, num_points] at ``self.radii()``
+        (reference _plot_field: ee(r) = nansum(energy[radii <= r]) on
+        centroid-centered spots)."""
+        r_step = self.radii()
+        xc, yc = self.data._centered()
+        r = jnp.sqrt(xc**2 + yc**2)                       # [F, W, N]
+        w = jnp.where(jnp.isfinite(self.data.intensity),
+                      self.data.intensity, 0.0)
+        # NaN radii (lost rays) compare False -> excluded, like nansum
+        inside = jnp.where(r[..., None] <= r_step, w[..., None], 0.0)
+        return jnp.sum(inside, axis=-2)
+
+    def view(self, fig_to_plot_on=None, figsize=(7, 4.5)):
+        import matplotlib.pyplot as plt
+        import numpy as np
+        if fig_to_plot_on is not None:
+            fig = fig_to_plot_on
+            fig.clear()
+            ax = fig.add_subplot(111)
+        else:
+            fig, ax = plt.subplots(figsize=figsize)
+        r = np.asarray(self.radii())
+        ee = np.asarray(self.energy_curves())
+        for k, field in enumerate(self.data.fields):
+            for j in range(ee.shape[1]):
+                ax.plot(r, ee[k, j],
+                        label=f"Hx: {field[0]:.3f}, Hy: {field[1]:.3f}")
+        ax.legend(bbox_to_anchor=(1.05, 0.5), loc="center left")
+        ax.set_xlabel("Radius (mm)")
+        ax.set_ylabel("Encircled Energy (-)")
+        ax.set_title(f"Wavelength: {self.data.wavelengths[0]:.4f} µm")
+        ax.set_xlim((0, None))
+        ax.set_ylim((0, None))
+        ax.grid(True)
+        fig.tight_layout()
+        return fig, ax

@@ -16,7 +16,7 @@ from ..config import default_float
 
 __all__ = ["ApertureDef", "RadialAperture", "OffsetRadialAperture",
            "EllipticalAperture", "RectangularAperture", "PolygonAperture",
-           "UnionAperture", "IntersectionAperture", "DifferenceAperture",
+           "FileAperture", "UnionAperture", "IntersectionAperture", "DifferenceAperture",
            "configure_aperture"]
 
 
@@ -127,6 +127,52 @@ class PolygonAperture(ApertureDef):
         x_int = x1 + (ys - y1) * (x2 - x1) / jnp.where(y2 == y1, 1.0, y2 - y1)
         crossings = jnp.sum(jnp.where(cond & (xs < x_int), 1, 0), axis=-1)
         return crossings % 2 == 1
+
+
+def _load_aperture_file(filepath, delimiter=None, skip_header: int = 0):
+    """Two-column coordinate file -> (x, y) numpy arrays (reference
+    physical_apertures/polygon.py:135-185): '//' comment lines, optional
+    header skip, delimiter None = whitespace, and an encoding fallback chain
+    for non-UTF8 exports."""
+    import numpy as np
+    encodings = ("utf-8", "utf-16", "utf-16le", "utf-16be", "utf-32",
+                 "utf-32le", "utf-32be", "latin1", "ascii")
+    data = None
+    for enc in encodings:
+        try:
+            with open(filepath, encoding=enc) as f:
+                delim = delimiter if delimiter is not None else None
+                data = np.genfromtxt(f, delimiter=delim, comments="//",
+                                     skip_header=skip_header)
+            if data is not None and np.isfinite(data).all():
+                break
+        except (UnicodeDecodeError, UnicodeError, ValueError):
+            continue
+    if data is None or data.ndim != 2 or data.shape[1] != 2 \
+            or not np.isfinite(data).all():
+        raise ValueError(f'Error reading aperture file "{filepath}"')
+    return data[:, 0], data[:, 1]
+
+
+class FileAperture(PolygonAperture):
+    """Polygon aperture whose vertices are loaded from a coordinate file
+    (reference physical_apertures/polygon.py:107-209)."""
+
+    kind = "file"
+
+    def __init__(self, filepath, delimiter=None, skip_header: int = 0):
+        import numpy as np
+        self.filepath = str(filepath)
+        self.delimiter = delimiter
+        self.skip_header = int(skip_header)
+        x, y = _load_aperture_file(filepath, delimiter, skip_header)
+        super().__init__(len(x))
+        self._file_vertices = np.stack([x, y], axis=1)
+
+    def default_params(self, vertices=None, **kw) -> dict:
+        if vertices is None:
+            vertices = self._file_vertices
+        return super().default_params(vertices=vertices, **kw)
 
 
 class _BooleanAperture(ApertureDef):
