@@ -8,8 +8,9 @@ Default run = the full suite (VERDICT r2 item 9: the official record is the
 suite JSON with median-of-5 timing, so one tunnel-noise spike can't swing the
 headline +-15%): forward entries (Cooke mono/3-λ, AsphericSinglet,
 DoubleGauss mono/3-λ, Hubble, tilted singlet, Chebyshev + Zernike freeforms,
-Fresnel concentrator [BASELINE config #4], polarized+coated double-Gauss
-[config #2, XLA path — recorded honestly], XLA fallback) plus GRADIENT
+Fresnel concentrator [BASELINE config #4], DOE grating mono/3-λ + metasurface
+phase lens [round 4: in-kernel diffraction], polarized+coated double-Gauss
+[config #2, in-kernel Jones chain], XLA fallback) plus GRADIENT
 entries (4M-ray RMS-spot merit value_and_grad through the custom_vjp Pallas
 kernel, and the XLA AD path for comparison). Writes BENCH_SUITE.json and
 prints the Cooke headline last. ``--headline`` runs only the Cooke entry.
@@ -105,6 +106,52 @@ def _zernike_freeform():
                                    1e-4, 5e-5])
     lens.add_surface(index=2, radius=-320.0, thickness=92.0)
     lens.add_surface(index=3)
+    lens.set_aperture(aperture_type="EPD", value=16.0)
+    lens.set_field_type(field_type="angle")
+    lens.add_field(y=0)
+    lens.add_wavelength(value=0.55, is_primary=True)
+    return lens
+
+
+def _doe_grating():
+    """Transmission grating on a conic substrate behind a collimating singlet
+    (BASELINE-class DOE system; reference interactions/diffractive_model.py).
+    Round 4: gratings run in the fused kernel."""
+    import jax.numpy as jnp
+    from optiland_pr_tpu.system.optic import Optic
+    lens = Optic(name="doe grating spectrometer")
+    lens.add_surface(index=0, radius=jnp.inf, thickness=jnp.inf)
+    lens.add_surface(index=1, radius=60.0, thickness=8.0, material="N-BK7",
+                     is_stop=True)
+    lens.add_surface(index=2, radius=-400.0, thickness=10.0)
+    lens.add_surface(index=3, surface_type="grating", radius=-150.0,
+                     thickness=80.0, grating_order=1, grating_period=2.0,
+                     groove_orientation_angle=0.0)
+    lens.add_surface(index=4)
+    lens.set_aperture(aperture_type="EPD", value=16.0)
+    lens.set_field_type(field_type="angle")
+    lens.add_field(y=0)
+    lens.add_wavelength(value=0.55, is_primary=True)
+    return lens
+
+
+def _metasurface_phase():
+    """Radial-phase (metasurface/DOE lens) element + refractive corrector
+    (reference interactions/phase_interaction_model.py + phase/radial.py).
+    Round 4: phase surfaces run in the fused kernel."""
+    import jax.numpy as jnp
+    from optiland_pr_tpu.system.optic import Optic
+    from optiland_pr_tpu.system.phase import RadialPhaseProfile
+    k0 = 2 * np.pi / 0.55
+    f = 100.0
+    lens = Optic(name="metasurface lens")
+    lens.add_surface(index=0, radius=jnp.inf, thickness=jnp.inf)
+    lens.add_surface(index=1, surface_type="phase", thickness=5.0,
+                     is_stop=True, phase_profile=RadialPhaseProfile(2),
+                     phase_kw={"coefficients": [-k0 / (2 * f), 1e-6]})
+    lens.add_surface(index=2, radius=200.0, thickness=5.0, material="N-BK7")
+    lens.add_surface(index=3, radius=jnp.inf, thickness=92.0)
+    lens.add_surface(index=4)
     lens.set_aperture(aperture_type="EPD", value=16.0)
     lens.set_field_type(field_type="angle")
     lens.add_field(y=0)
@@ -240,8 +287,11 @@ def suite():
         ("zernike_freeform", _zernike_freeform, 0.55, N_RAYS, "auto"),
         ("fresnel_concentrator", _fresnel_concentrator, 0.55, N_RAYS,
          "auto"),
+        ("doe_grating", _doe_grating, 0.55, N_RAYS, "auto"),
+        ("doe_grating_3wl", _doe_grating, FRAUNHOFER, 2_000_000, "auto"),
+        ("metasurface_phase", _metasurface_phase, 0.55, N_RAYS, "auto"),
         ("double_gauss_polarized", _polarized_double_gauss, 0.5876,
-         1_000_000, "auto"),   # polarized -> XLA today; recorded honestly
+         1_000_000, "auto"),   # in-kernel Jones chain (round 3)
         ("cooke_triplet_xla", CookeTriplet, 0.55, 1_000_000, "xla"),
     ]
     results = []

@@ -63,20 +63,42 @@ _NEWTON_ITERS = 8  # fixed in-kernel Newton refinements for aspheres
 _SUPPORTED_KINDS = ("standard", "plane", "even_asphere", "odd_asphere",
                     "polynomial_xy", "chebyshev", "biconic", "toroidal",
                     "zernike", "forbes_qbfs", "forbes_q2d", "fresnel_zone",
-                    "fresnel_designed")
+                    "fresnel_designed", "standard_grating", "plane_grating")
+
+# phase profiles whose evaluation is branch-free VPU math (grid profiles
+# need searchsorted gathers -> XLA path)
+_SUPPORTED_PHASE = ("constant", "radial", "linear_grating")
 
 
 def supports_model(model: OpticModel) -> bool:
-    """True if every inner surface is a conic/plane/asphere/XY-polynomial/
-    Chebyshev/Zernike/Forbes/Fresnel/biconic/toroidal refract/reflect surface
-    whose extras the kernel can fuse: tilt/decenter, radial or offset-radial
-    apertures, scalar (simple) coatings. BSDFs, polarization-dependent
-    coatings, GRIN media and non-refractive interactions stay on the XLA
-    path."""
+    """True if every inner surface is fusable: a conic/plane/asphere/
+    XY-polynomial/Chebyshev/Zernike/Forbes/Fresnel/biconic/toroidal
+    refract/reflect surface, a conic/plane linear GRATING surface, or a
+    conic/plane PHASE surface with a constant/radial/linear-grating profile;
+    extras limited to tilt/decenter, radial or offset-radial apertures,
+    scalar (simple) or fresnel coatings. BSDFs, grid sags/profiles, NURBS,
+    GRIN media and thin-lens interactions stay on the XLA path."""
     for spec in model.surfaces[1:]:
-        if spec.geometry.kind not in _SUPPORTED_KINDS:
-            return False
-        if spec.interaction != "refract_reflect":
+        if spec.interaction == "refract_reflect":
+            if spec.geometry.kind not in _SUPPORTED_KINDS:
+                return False
+        elif spec.interaction == "grating":
+            # closed-form in-kernel diffraction needs the conic groove
+            # tangent (reference geometries/standard_grating.py:25)
+            if spec.geometry.kind not in ("standard_grating",
+                                          "plane_grating"):
+                return False
+            if spec.coating is not None:
+                return False
+        elif spec.interaction == "phase":
+            if spec.geometry.kind not in ("standard", "plane"):
+                return False
+            prof = spec.phase_profile
+            if prof is None or prof.kind not in _SUPPORTED_PHASE:
+                return False
+            if spec.coating is not None:
+                return False
+        else:
             return False
         if spec.bsdf is not None:
             return False
@@ -116,9 +138,12 @@ def _pack_rows(model: OpticModel, params, wavelength) -> jnp.ndarray:
         mat1 = model.surfaces[pre.material_src].material
         mp1 = params["surfaces"][pre.material_src]["material"]
         n1 = mat1.n(mp1, wl)
-        if spec.is_reflective:
+        if spec.is_reflective and spec.interaction != "grating":
             n2 = n1
         else:
+            # grating surfaces always read the post material, even when
+            # reflective (trace/real.py:163-165 convention; a mirror grating's
+            # post material aliases the pre material anyway)
             mat2 = model.surfaces[spec.material_src].material
             mp2 = params["surfaces"][spec.material_src]["material"]
             n2 = mat2.n(mp2, wl)
@@ -175,12 +200,27 @@ def _pack_rows(model: OpticModel, params, wavelength) -> jnp.ndarray:
         elif gk == "fresnel_designed":
             gx24 = sp["geom"]["focal_length"]
             gx25 = sp["geom"]["n_design"]
+        elif gk in ("standard_grating", "plane_grating"):
+            # per-wavelength grating strength g0 = m*lambda/period (both um;
+            # trace/real.py:166-170) + groove-orientation tangent
+            gx24 = sp["geom"]["grating_order"] * wl / sp["geom"][
+                "grating_period"]
+            gx25 = jnp.tan(sp["geom"]["groove_angle"])
+        if spec.interaction == "phase":
+            pp = sp["phase"]
+            pk = spec.phase_profile.kind
+            if pk == "constant":
+                gx24 = pp["phase"]
+            elif pk == "linear_grating":
+                Kx, Ky = spec.phase_profile._K(pp)
+                gx24, gx25 = Kx, Ky
+            # radial coefficients ride the acoef row (pack_asphere_coeffs)
 
         head = jnp.stack([
             jnp.reshape(radius_inv, ()), jnp.reshape(conic, ()),
             jnp.reshape(pos[k], ()), jnp.reshape(n1, ()),
             jnp.reshape(n2, ()), jnp.reshape(alpha, ()),
-            jnp.reshape(coat, ()), jnp.zeros(()),
+            jnp.reshape(coat, ()), jnp.reshape(wl, ()),
         ])
         apr = jnp.stack([jnp.reshape(rmin2, ()), jnp.reshape(rmax2, ()),
                          jnp.reshape(aox, ()), jnp.reshape(aoy, ()),
@@ -201,14 +241,21 @@ def pack_surface_constants(model: OpticModel, params, wavelength) -> jnp.ndarray
     return jax.vmap(lambda w: _pack_rows(model, params, w))(wl)
 
 
-def _geom_coeff_vector(spec, gp):
-    """Flattened per-surface geometry coefficient vector for the kernel, or
-    None for coefficient-free kinds (conic/plane/biconic/fresnel).
+def _geom_coeff_vector(spec, sp):
+    """Flattened per-surface geometry (or radial-phase-profile) coefficient
+    vector for the kernel, or None for coefficient-free kinds
+    (conic/plane/biconic/fresnel/grating).
 
     Forbes coefficients are pre-multiplied through the (static, linear)
     Qbfs/Q2D basis-change matrices here — outside the kernel — so the
     in-kernel Clenshaw works directly on the Pn/Pnm expansion; the map is
     differentiable, so coefficient gradients ride through it."""
+    gp = sp["geom"]
+    if spec.interaction == "phase" and spec.phase_profile is not None \
+            and spec.phase_profile.kind == "radial":
+        # radial phase coefficients share the acoef row (phase surfaces in
+        # the kernel carry a coefficient-free conic/plane geometry)
+        return jnp.asarray(sp["phase"]["coefficients"], jnp.float32)
     gk = spec.geometry.kind
     if gk in ("even_asphere", "odd_asphere") and spec.geometry.num_terms:
         return jnp.asarray(gp["coefficients"], jnp.float32)
@@ -259,7 +306,7 @@ def pack_asphere_coeffs(model: OpticModel, params) -> jnp.ndarray:
     cmax = 1
     for k in range(1, model.num_surfaces):
         v = _geom_coeff_vector(model.surfaces[k],
-                               params["surfaces"][k]["geom"])
+                               params["surfaces"][k])
         vecs.append(v)
         if v is not None:
             cmax = max(cmax, int(v.shape[0]))
@@ -801,7 +848,7 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None,
                   gkind: str = "conic", nu: int = 0, nv: int = 0,
                   has_cs: bool = False, has_ap: bool = False,
                   has_coat: bool = False, fresnel_coat: bool = False,
-                  gextra=None):
+                  gextra=None, inter=None):
     """One surface interaction; all elementwise VPU ops.
 
     is_plane/is_refl/absorbing/has_cs/has_ap/has_coat are STATIC (baked from
@@ -968,7 +1015,145 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None,
         L_pre, M_pre, N_pre = L, M, N
     cos_i = None
 
-    if newton_geom:
+    # ---- conic/plane slope + unit normal (shared by the diffractive
+    # branches; the refract/reflect branches below build their own) ---------
+    if inter is not None:
+        if is_plane:
+            zero = jnp.zeros_like(x)
+            dfdx = zero
+            dfdy = zero
+            nx, ny, nz = zero, zero, -jnp.ones_like(x)
+        else:
+            r2 = x * x + y * y
+            arg = 1.0 - (1.0 + conic) * radius_inv * radius_inv * r2
+            inv_root = jax.lax.rsqrt(jnp.where(arg > _EPS, arg, 1.0))
+            dfdx = x * radius_inv * inv_root
+            dfdy = y * radius_inv * inv_root
+            inv_mag = jax.lax.rsqrt(dfdx * dfdx + dfdy * dfdy + 1.0)
+            nx, ny, nz = dfdx * inv_mag, dfdy * inv_mag, -inv_mag
+
+    if inter is not None and inter[0] == "grating":
+        # ---- linear-grating diffraction, closed form (trace/real.py:159-171
+        # -> core/rays.py grating_diffract; reference rays/real_rays.py:
+        # 183-498 + geometries/standard_grating.py grating_vector) ----------
+        # groove tangent t = normalize(1, tan a, dfdx + tan a * dfdy); the
+        # grating vector f = -normalize(n x t) lies in the tangent plane
+        ta = c[25]
+        one = jnp.ones_like(x)
+        tgx = one
+        tgy = ta * one
+        tgz = dfdx + ta * dfdy
+        tinv = jax.lax.rsqrt(tgx * tgx + tgy * tgy + tgz * tgz)
+        tgx, tgy, tgz = tgx * tinv, tgy * tinv, tgz * tinv
+        fxv = ny * tgz - nz * tgy
+        fyv = nz * tgx - nx * tgz
+        fzv = nx * tgy - ny * tgx
+        finv = jax.lax.rsqrt(fxv * fxv + fyv * fyv + fzv * fzv)
+        fxv, fyv, fzv = -fxv * finv, -fyv * finv, -fzv * finv
+        # period projection (trace/real.py:167): the effective period is the
+        # nominal one divided by the xy-plane projection of f, so the
+        # per-wavelength strength c[24] = m*lambda/period scales by it
+        g = c[24] * jnp.sqrt(fxv * fxv + fyv * fyv)
+        # align the normal along the ray (core/rays.py align_normal)
+        dtn = L * nx + M * ny + N * nz
+        sgn = jnp.where(dtn >= 0, 1.0, -1.0)
+        nxa, nya, nza = nx * sgn, ny * sgn, nz * sgn
+        kx, ky, kz = n1 * L, n1 * M, n1 * N
+        kdn = kx * nxa + ky * nya + kz * nza
+        tx2 = kx - kdn * nxa + g * fxv
+        ty2 = ky - kdn * nya + g * fyv
+        tz2 = kz - kdn * nza + g * fzv
+        disc_g = n2 * n2 - (tx2 * tx2 + ty2 * ty2 + tz2 * tz2)
+        ok_g = disc_g >= 0
+        kn = jnp.sqrt(jnp.where(ok_g, disc_g, 1.0))
+        if is_refl:
+            kn = -kn
+            den = -n2
+        else:
+            den = n2
+        Lo = (tx2 + kn * nxa) / den
+        Mo = (ty2 + kn * nya) / den
+        No = (tz2 + kn * nza) / den
+        oinv = jax.lax.rsqrt(Lo * Lo + Mo * Mo + No * No)
+        L, M, N = Lo * oinv, Mo * oinv, No * oinv
+        valid = valid & ok_g
+    elif inter is not None and inter[0] == "phase":
+        # ---- phase/metasurface update (trace/real.py:172-205; reference
+        # interactions/phase_interaction_model.py:45-127) -------------------
+        _, pkind, plane_cls, eff = inter
+        if plane_cls:
+            # the Plane geometry CLASS reports a +z normal (reference
+            # geometries/plane.py:79-92), unlike a standard surface at
+            # radius=inf whose conic normal is -z; the alpha*n term makes
+            # the update sign-sensitive, so reproduce the class's normal
+            nx = jnp.zeros_like(x)
+            ny = jnp.zeros_like(x)
+            nz = jnp.ones_like(x)
+        # profile phase + tangential gradient (system/phase.py; grid
+        # profiles are XLA-only)
+        if pkind == "constant":
+            phase_val = c[24] * jnp.ones_like(x)
+            pgx = jnp.zeros_like(x)
+            pgy = jnp.zeros_like(x)
+        elif pkind == "radial":
+            r2p = x * x + y * y
+            rp_ = jnp.sqrt(r2p)
+            phase_val = jnp.zeros_like(x)
+            d_dr = jnp.zeros_like(x)
+            term = r2p
+            rpow = rp_
+            for i in range(nu):
+                ci = acoef[i]
+                phase_val = phase_val + ci * term
+                d_dr = d_dr + ci * (2.0 * (i + 1.0)) * rpow
+                term = term * r2p
+                rpow = rpow * r2p
+            safe_r = jnp.where(rp_ == 0, 1.0, rp_)
+            pgx = (d_dr / safe_r) * x
+            pgy = (d_dr / safe_r) * y
+        else:  # linear_grating
+            phase_val = c[24] * x + c[25] * y
+            pgx = c[24] * jnp.ones_like(x)
+            pgy = c[25] * jnp.ones_like(x)
+        # surface-projected gradient G = pg - (pg.n)n (pg has no z part)
+        gdn = pgx * nx + pgy * ny
+        Gx = pgx - gdn * nx
+        Gy = pgy - gdn * ny
+        Gz = -gdn * nz
+        k0 = 2.0 * jnp.pi / c[7]
+        kix, kiy, kiz = n1 * k0 * L, n1 * k0 * M, n1 * k0 * N
+        kdn = kix * nx + kiy * ny + kiz * nz
+        kpx = kix - kdn * nx + Gx
+        kpy = kiy - kdn * ny + Gy
+        kpz = kiz - kdn * nz + Gz
+        Rsq = (n2 * k0) ** 2 - (kpx * kpx + kpy * kpy + kpz * kpz)
+        evan = Rsq < 0
+        # evanescent orders are intensity-clipped, not invalidated
+        # (trace/real.py:193 R.clip semantics)
+        inten = inten * jnp.where(evan, 0.0, 1.0)
+        # double-where: sqrt'(0)=inf would poison grads at the clamp
+        alpha_p = jnp.sqrt(jnp.where(evan, 1.0, jnp.maximum(Rsq, 0.0)))
+        alpha_p = jnp.where(evan, 0.0, alpha_p)
+        if is_refl:
+            alpha_p = -alpha_p
+        kox = kpx + alpha_p * nx
+        koy = kpy + alpha_p * ny
+        koz = kpz + alpha_p * nz
+        minv = jax.lax.rsqrt(kox * kox + koy * koy + koz * koz)
+        L, M, N = kox * minv, koy * minv, koz * minv
+        # OPD -= phase/k0 (reference quirk: phase/k0 is um-scale while OPD
+        # accumulates mm path lengths; reproduced exactly for parity)
+        shift = -phase_val / k0
+        if opd_c is None:
+            opd = opd + shift
+        else:
+            yk = shift - opd_c
+            tk = opd + yk
+            opd_c = (tk - opd) - yk
+            opd = tk
+        if eff != 1.0:
+            inten = inten * eff
+    elif newton_geom:
         # ---- freeform normal + refract/reflect ----------------------------
         _, gx, gy = _freeform_sag_grad(gkind, nu, nv, c, acoef, x, y, gextra)
         inv_mag = jax.lax.rsqrt(gx * gx + gy * gy + 1.0)
@@ -1025,8 +1210,10 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None,
         L, M, N, valid = _interact(nx, ny, nz, L, M, N, valid)
 
     # ---- polarization chain (reference interactions/base.py:111-127:
-    # coating.interact -> rays.update(jones), or rays.update() bare) --------
-    if evecs is not None:
+    # coating.interact -> rays.update(jones), or rays.update() bare).
+    # Grating/phase interactions do NOT update the chain (trace/real.py
+    # only updates rays.p in the refract_reflect branch) --------------------
+    if evecs is not None and inter is None:
         diag = _fresnel_diag(n1, n2, cos_i, is_refl) if fresnel_coat else None
         evecs = _polar_update(evecs, L_pre, M_pre, N_pre, L, M, N, diag,
                               refract_only=not is_refl)
@@ -1059,6 +1246,7 @@ def _step_kwargs(flag):
     (is_plane, is_refl, absorbing, gkind, nu, nv, has_cs, has_ap,
      coat) = flag[:9]
     gextra = flag[9] if len(flag) > 9 else None
+    inter = flag[10] if len(flag) > 10 else None
     if coat is True:     # legacy boolean flag form (hand-built test flags)
         coat = "simple"
     elif coat is False:
@@ -1066,7 +1254,7 @@ def _step_kwargs(flag):
     return dict(is_plane=is_plane, is_refl=is_refl, absorbing=absorbing,
                 gkind=gkind, nu=nu, nv=nv, has_cs=has_cs, has_ap=has_ap,
                 has_coat=(coat == "simple"), fresnel_coat=(coat == "fresnel"),
-                gextra=gextra)
+                gextra=gextra, inter=inter)
 
 
 def _nanify8(x, y, z, L, M, N, inten, opd, valid):
@@ -1114,7 +1302,8 @@ _KERNEL_KINDS = {"standard": "conic", "plane": "conic",
                  "biconic": "biconic", "toroidal": "toroidal",
                  "zernike": "zernike", "forbes_qbfs": "qbfs",
                  "forbes_q2d": "q2d", "fresnel_zone": "fresnel_zone",
-                 "fresnel_designed": "fresnel_designed"}
+                 "fresnel_designed": "fresnel_designed",
+                 "standard_grating": "conic", "plane_grating": "conic"}
 
 
 def model_flags(model: OpticModel, params) -> tuple:
@@ -1161,9 +1350,23 @@ def model_flags(model: OpticModel, params) -> tuple:
                                                 False):
             gkind = "toroidal_inf"
         coat = "none" if spec.coating is None else spec.coating.kind
+        # static interaction descriptor (None = refract/reflect):
+        #   ("grating",)  or  ("phase", profile_kind, plane_class, efficiency)
+        inter = None
+        if spec.interaction == "grating":
+            inter = ("grating",)
+        elif spec.interaction == "phase":
+            prof = spec.phase_profile
+            if prof.kind == "radial":
+                nu = prof.num_terms
+            # the Plane geometry CLASS has a +z normal while a standard
+            # surface at radius=inf has the conic -z normal — the phase
+            # update's alpha*n term needs the real class (trace/real.py:176)
+            inter = ("phase", prof.kind, gk == "plane",
+                     float(prof.efficiency))
         flags.append((is_plane, spec.is_reflective, absorbing, gkind, nu, nv,
                       spec.has_tilt_decenter, spec.aperture is not None,
-                      coat, gextra))
+                      coat, gextra, inter))
     return tuple(flags)
 
 

@@ -86,13 +86,23 @@ def test_supports_model_widened_scope():
     lens._dirty()
     model, _ = lens.build()
     assert supports_model(model)
-    # still rejected: grating interactions (XLA path)
+    # round 4: grating interactions run in-kernel now
     lens2 = _coated_singlet()
     lens2._surfaces[1]["surface_type"] = "plane_grating"
     lens2._surfaces[1]["coating"] = None
     lens2._dirty()
     model2, _ = lens2.build()
-    assert not supports_model(model2)
+    assert supports_model(model2)
+    # still rejected: grid sags (gather-based interpolation, XLA path)
+    from optiland_pr_tpu.geometry.extras import GridSag
+    lens3 = _coated_singlet()
+    lens3._surfaces[1]["surface_type"] = "grid_sag"
+    lens3._surfaces[1]["coating"] = None
+    import numpy as _np
+    lens3._surfaces[1]["geom_kw"]["sag_grid"] = _np.zeros((8, 8))
+    lens3._dirty()
+    model3, _ = lens3.build()
+    assert not supports_model(model3)
 
 
 def test_hubble_gen_trace_parity():
