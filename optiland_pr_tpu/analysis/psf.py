@@ -387,7 +387,8 @@ class HuygensPSF(PSFViewMixin):
         return _image_to_global(self.model, self.params, X, Y, Z)
 
     def _sum(self, data, opd_mm, ix, iy, iz):
-        from ..kernels.huygens import huygens_fresnel_xla
+        import jax.core
+        from ..kernels.huygens import huygens_fresnel_ref, huygens_fresnel_xla
         k = 2 * jnp.pi / (self.wavelength * 1e-3)
         finite = (jnp.isfinite(data.pupil_x) & jnp.isfinite(data.pupil_y)
                   & jnp.isfinite(data.pupil_z) & jnp.isfinite(opd_mm))
@@ -396,9 +397,14 @@ class HuygensPSF(PSFViewMixin):
         pz = jnp.where(finite, data.pupil_z, 1.0)
         amp = jnp.where(finite, data.intensity, 0.0)
         opd = jnp.where(finite, opd_mm, 0.0)
-        return huygens_fresnel_xla(px, py, pz, amp, opd, ix.ravel(),
-                                   iy.ravel(), iz.ravel(), k, data.radius
-                                   ).reshape(ix.shape)
+        # phase-re-referenced form (f32-safe on TPU; round-4 audit: the
+        # naive cos(k*(opd+R)) loses ~11% at f32) — needs concrete inputs,
+        # which the eager analysis class always has; tracers fall back
+        traced = any(isinstance(v, jax.core.Tracer)
+                     for v in (px, ix, opd, amp))
+        fn = huygens_fresnel_xla if traced else huygens_fresnel_ref
+        return fn(px, py, pz, amp, opd, ix.ravel(),
+                  iy.ravel(), iz.ravel(), k, data.radius).reshape(ix.shape)
 
     def _get_normalization(self, data):
         """Peak of the ideal (zero-OPD) PSF at the on-axis field

@@ -64,10 +64,14 @@ class MMDFTPSF(PSFViewMixin):
                                    wavelengths=[wavelength],
                                    num_rays=num_rays, distribution="uniform",
                                    strategy=strategy, remove_tilt=remove_tilt)
-        self.pupil = self._pupil(wavelength)
+        self.pupil_re_im = self._pupil(wavelength)
         self.psf = self._compute_psf(wavelength)
 
     def _pupil(self, wl):
+        """Complex pupil as a REAL (re, im) pair: the axon TPU backend has
+        no complex dtype support at all (complex add/matmul/FFT are
+        UNIMPLEMENTED), and the real decomposition is also where the MXU
+        matmul precision can be pinned (round-4 audit)."""
         from .psf import _scatter_disk
         n = self.num_rays
         x = jnp.linspace(-1, 1, n)
@@ -81,13 +85,23 @@ class MMDFTPSF(PSFViewMixin):
             jnp.sum(jnp.where(valid, d.intensity, 0.0))
             / jnp.maximum(nvalid, 1), 1.0)
         amplitude = d.intensity / mean_valid
-        vals = amplitude * jnp.exp(-1j * 2 * jnp.pi * d.opd)
-        P = jnp.zeros(n * n, dtype=vals.dtype)
-        P = _scatter_disk(P, inside, vals)
-        return P.reshape(n, n)
+        # amp * exp(-i 2 pi opd), decomposed
+        vr = amplitude * jnp.cos(2 * jnp.pi * d.opd)
+        vi = -amplitude * jnp.sin(2 * jnp.pi * d.opd)
+        Pr = _scatter_disk(jnp.zeros(n * n, vr.dtype), inside, vr)
+        Pi = _scatter_disk(jnp.zeros(n * n, vi.dtype), inside, vi)
+        return Pr.reshape(n, n), Pi.reshape(n, n)
+
+    @property
+    def pupil(self):
+        """Complex pupil grid (host-side convenience; complex dtypes do not
+        exist on the axon TPU backend — use ``pupil_re_im`` there)."""
+        Pr, Pi = self.pupil_re_im
+        return Pr + 1j * Pi
 
     def _kernels(self, wl):
-        """Reference psf/mmdft.py:232-295: non-unitary zoomed DFT kernels."""
+        """Reference psf/mmdft.py:232-295: non-unitary zoomed DFT kernels,
+        as real (cos, sin) pairs."""
         n = self.num_rays
         g = self.image_size
         pad = wl * self._fno * (n - 1) / self.pixel_pitch
@@ -96,15 +110,31 @@ class MMDFTPSF(PSFViewMixin):
                              "increase num_rays")
         pc = jnp.arange(n) - n // 2
         ic = jnp.arange(g) - g // 2
-        R = jnp.exp(-2j * jnp.pi * jnp.outer(pc, ic) / pad)
-        L = jnp.exp(-2j * jnp.pi * jnp.outer(ic, pc) / pad)
-        return L, R
+        aR = 2 * jnp.pi * jnp.outer(pc, ic) / pad
+        aL = 2 * jnp.pi * jnp.outer(ic, pc) / pad
+        # exp(-i a) = cos a - i sin a
+        return (jnp.cos(aL), -jnp.sin(aL)), (jnp.cos(aR), -jnp.sin(aR))
 
     def _compute_psf(self, wl):
-        L, R = self._kernels(wl)
-        G = L @ self.pupil.astype(L.dtype) @ R
-        psf = jnp.real(G * jnp.conj(G))
-        norm = jnp.sum(jnp.abs(self.pupil) > 0).astype(psf.dtype) ** 2
+        (Lr, Li), (Rr, Ri) = self._kernels(wl)
+        Pr, Pi = self.pupil_re_im
+        dt = Lr.dtype
+        Pr = Pr.astype(dt)
+        Pi = Pi.astype(dt)
+
+        # G = L @ P @ R via 8 real matmuls. precision="highest": the TPU
+        # MXU's default bf16 passes cost ~1e-3 relative error in the PSF
+        # (round-4 audit vs CPU f64 truth); full-f32 passes restore ~1e-6
+        # at a negligible share of the analysis runtime.
+        def mm(a, b):
+            return jnp.matmul(a, b, precision="highest")
+
+        M1r = mm(Lr, Pr) - mm(Li, Pi)
+        M1i = mm(Lr, Pi) + mm(Li, Pr)
+        Gr = mm(M1r, Rr) - mm(M1i, Ri)
+        Gi = mm(M1r, Ri) + mm(M1i, Rr)
+        psf = Gr * Gr + Gi * Gi
+        norm = jnp.sum(Pr * Pr + Pi * Pi > 0).astype(psf.dtype) ** 2
         return psf * 100.0 / norm
 
     def strehl_ratio(self):

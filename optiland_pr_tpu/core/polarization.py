@@ -52,14 +52,29 @@ def fresnel_jones(n1, n2, aoi, reflect: bool):
     return eye * d[..., None, :]  # diag per ray: [n, 3, 3]
 
 
-def polarization_update_matrix(L0, M0, N0, L1, M1, N1, jones=None):
+def polarization_update_matrix(L0, M0, N0, L1, M1, N1, jones=None,
+                               normal=None):
     """Surface polarization matrix p = O_out @ J @ O_in (reference
     rays/polarized_rays.py:115-153): rotate into the s/p basis of the
-    interaction plane, apply the Jones matrix, rotate back out."""
+    interaction plane, apply the Jones matrix, rotate back out.
+
+    ``normal``: optional (nx, ny, nz) unit surface normal. k1 always lies in
+    span{k0, n}, so s ~ k0 x n is the SAME direction as the reference's
+    k0 x k1 (verified to 1e-12 at f64) — but near normal incidence k0 x k1
+    is a cancellation-dominated tiny vector whose f32 direction error leaks
+    first-order into intensity (a non-orthonormal s loses |E| norm);
+    k0 x n has no cancellation and keeps the f32 chain accurate (round-4
+    polarized-kernel audit: %-level near-axis noise removed)."""
     k0 = jnp.stack([L0, M0, N0], axis=-1)
     k1 = jnp.stack([L1, M1, N1], axis=-1)
 
-    s = jnp.cross(k0, k1)
+    if normal is not None:
+        nvec = jnp.stack(jnp.broadcast_arrays(normal[0], normal[1],
+                                              normal[2]), axis=-1)
+        nvec = jnp.broadcast_to(nvec.astype(k0.dtype), k0.shape)
+        s = jnp.cross(k0, nvec)
+    else:
+        s = jnp.cross(k0, k1)
     mag = jnp.linalg.norm(s, axis=-1)
     # Normal-incidence fallback: use the x-axis to build the basis. The
     # reference tests mag == 0 exactly (numpy); under XLA the a*b - c*d
@@ -92,9 +107,11 @@ def polarization_update_matrix(L0, M0, N0, L1, M1, N1, jones=None):
                       precision="highest")
 
 
-def apply_polarization_update(p_chain, L0, M0, N0, L1, M1, N1, jones=None):
+def apply_polarization_update(p_chain, L0, M0, N0, L1, M1, N1, jones=None,
+                              normal=None):
     """Compose this surface's polarization matrix onto the running chain."""
-    p_surf = polarization_update_matrix(L0, M0, N0, L1, M1, N1, jones)
+    p_surf = polarization_update_matrix(L0, M0, N0, L1, M1, N1, jones,
+                                        normal=normal)
     if p_chain.dtype != p_surf.dtype:
         p_chain = p_chain.astype(p_surf.dtype)
     return jnp.matmul(p_surf, p_chain, precision="highest")

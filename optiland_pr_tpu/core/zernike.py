@@ -135,7 +135,12 @@ class ZernikeFit:
         rho = jnp.sqrt(x**2 + y**2)
         phi = jnp.arctan2(y, x)
         A = zernike_design_matrix(zernike_type, num_terms, rho, phi)
-        self.coeffs, *_ = jnp.linalg.lstsq(A, z, rcond=None)
+        # precision pin (round-4 MXU audit): the lstsq's inner matmuls run
+        # at the TPU MXU's bf16 default otherwise, corrupting low-order
+        # coefficients at the ~1e-3 level on f32 inputs
+        import jax
+        with jax.default_matmul_precision("highest"):
+            self.coeffs, *_ = jnp.linalg.lstsq(A, z, rcond=None)
         self._rho, self._phi, self._z = rho, phi, z
 
     def evaluate(self, rho, phi):

@@ -20,7 +20,88 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["huygens_sum_xla", "huygens_sum_pallas", "huygens_fresnel_xla"]
+__all__ = ["huygens_sum_xla", "huygens_sum_pallas", "huygens_fresnel_xla",
+           "huygens_fresnel_ref"]
+
+
+def huygens_fresnel_ref(px, py, pz, amp, opd, ix, iy, iz, k, Rp,
+                        chunk: int = 4096):
+    """Phase-re-referenced Huygens-Fresnel summation, f32-safe on TPU.
+
+    Numerically equal to ``huygens_fresnel_xla`` in exact arithmetic, but the
+    naive form evaluates cos(k*(opd + R)) at k*R ~ 1e6 rad, where the f32 ulp
+    is ~0.1 rad — measured 10.9%% PSF error on TPU even for wavelength-scale
+    aberrations (round-4 audit). Here:
+
+    - all coordinates are shifted to the image-cloud centroid c (host f64),
+      so device arrays carry only SMALL magnitudes,
+    - the per-pupil residual phase phi_p = (k*(r0_p - opd_p)) mod 2pi, with
+      r0_p = |p - c|, is computed on the HOST in f64 (it's a [P] array,
+      outside the hot O(I*P) loop),
+    - the per-pair distance enters only as the DIFFERENCE
+      dr = r - r0 = (|t'|^2 - 2 t'.p') / (r + r0), cancellation-free,
+    - the obliquity uses the reference convention nu = p/Rp (shift-applied
+      to the numerator only; cos theta is shift-invariant).
+
+    Measured f32-vs-f64 PSF error: 2.9e-6 (was 1.1e-1). Requires CONCRETE
+    (non-traced) inputs — the analysis classes are eager, so the host
+    round-trip is free.
+    """
+    import numpy as np
+    pxh = np.asarray(px, np.float64)
+    pyh = np.asarray(py, np.float64)
+    pzh = np.asarray(pz, np.float64)
+    opdh = np.asarray(opd, np.float64)
+    cx = float(np.mean(np.asarray(ix, np.float64)))
+    cy = float(np.mean(np.asarray(iy, np.float64)))
+    cz = float(np.mean(np.asarray(iz, np.float64)))
+    pxs = pxh - cx
+    pys = pyh - cy
+    pzs = pzh - cz
+    r0 = np.sqrt(pxs * pxs + pys * pys + pzs * pzs)
+    phi = np.mod(float(k) * (r0 - opdh), 2 * np.pi)
+    dt = jnp.asarray(px).dtype
+    pxs_d = jnp.asarray(pxs, dt)
+    pys_d = jnp.asarray(pys, dt)
+    pzs_d = jnp.asarray(pzs, dt)
+    r0_d = jnp.asarray(r0, dt)
+    pre = jnp.asarray(amp, dt) * jnp.cos(jnp.asarray(phi, dt))
+    pim = jnp.asarray(amp, dt) * jnp.sin(jnp.asarray(phi, dt))
+    nux = jnp.asarray(pxh / np.asarray(Rp, np.float64), dt)
+    nuy = jnp.asarray(pyh / np.asarray(Rp, np.float64), dt)
+    nuz = jnp.asarray(pzh / np.asarray(Rp, np.float64), dt)
+    ixs = jnp.asarray(np.asarray(ix, np.float64) - cx, dt)
+    iys = jnp.asarray(np.asarray(iy, np.float64) - cy, dt)
+    izs = jnp.asarray(np.asarray(iz, np.float64) - cz, dt)
+
+    n = ixs.shape[0]
+    pad = (-n) % chunk
+    tiles = tuple(jnp.pad(v, (0, pad)).reshape(-1, chunk)
+                  for v in (ixs, iys, izs))
+
+    def one_tile(t):
+        tx, ty, tz = t
+        dx = tx[:, None] - pxs_d[None, :]
+        dy = ty[:, None] - pys_d[None, :]
+        dz = tz[:, None] - pzs_d[None, :]
+        r = jnp.sqrt(dx * dx + dy * dy + dz * dz)
+        cos_t = (dx * nux[None, :] + dy * nuy[None, :]
+                 + dz * nuz[None, :]) / r
+        q = 0.5 * (1.0 + cos_t) / r
+        t2 = (tx * tx + ty * ty + tz * tz)[:, None]
+        dr = (t2 - 2.0 * (tx[:, None] * pxs_d[None, :]
+                          + ty[:, None] * pys_d[None, :]
+                          + tz[:, None] * pzs_d[None, :])) \
+            / (r + r0_d[None, :])
+        cr = jnp.cos(k * dr)
+        sr = jnp.sin(k * dr)
+        # (pre + i pim) * (cr + i sr) * q; total phase phi_p + k dr
+        re = jnp.sum(q * (pre[None, :] * cr - pim[None, :] * sr), axis=1)
+        im = jnp.sum(q * (pre[None, :] * sr + pim[None, :] * cr), axis=1)
+        return re * re + im * im
+
+    out = jax.lax.map(one_tile, tiles)
+    return out.reshape(-1)[:n]
 
 
 def huygens_fresnel_xla(px, py, pz, amp, opd, ix, iy, iz, k, Rp,

@@ -3,10 +3,12 @@
 The forward pass is ``pallas_trace._pallas_gen_trace_2d`` (ray state lives in
 VMEM for the whole surface stack). The backward pass here is a SECOND Pallas
 kernel over the same grid: each tile recomputes the forward pipeline from the
-(tiny) primal inputs and reverse-walks it with ``jax.vjp`` *inside* the kernel
-trace — every transpose is elementwise VPU code, the per-surface-constant
-cotangents reduce over the tile in VMEM, and cross-tile accumulation uses the
-sequential-grid revisiting pattern (init at the first visit, += after).
+(tiny) primal inputs and reverse-walks it surface by surface (``_manual_vjp``:
+boundary-state checkpointing + one ``jax.vjp`` per surface — Mosaic has no
+remat2 lowering, so jax.checkpoint is not an option in-kernel) — every
+transpose is elementwise VPU code, the per-surface-constant cotangents reduce
+over the tile in VMEM, and cross-tile accumulation uses the sequential-grid
+revisiting pattern (init at the first visit, += after).
 
 Recompute-in-backward is the right trade here: the primal inputs are ~8 bytes
 per ray (the pupil samples) while stashing per-surface ray state would write
@@ -34,10 +36,11 @@ __all__ = ["diff_gen_trace"]
 
 import os
 
-# Backward tiles: the tile's AD residuals (~the forward recompute's live
-# per-surface values) must fit the 16 MB VMEM scope, so rows scale inversely
-# with surface count. Measured on TPU v5e (Cooke, S=6): rows 8 -> 2.7e8
-# grad-rays/s, 64 -> 3.9e8, 128 -> VMEM OOM (21.5 MB). Budget rows*S <= 384.
+# Backward tiles: the boundary states plus the compiler's retained buffers
+# still cap the tile at rows*S ~ 384 on v5e (measured round 4: Cooke rows
+# 32 -> 3.51e8 grad-rays/s, 64 -> 3.72e8, 128 -> VMEM OOM; double-Gauss
+# rows 64 -> OOM 18.7M/16M, 32 ok) — the manual per-surface reverse sweep
+# matched the round-3 whole-pipeline vjp's throughput, not exceeded it.
 _BWD_ROW_SURFACE_BUDGET = 384
 _BWD_ENV = os.environ.get("OPTILAND_BWD_BLOCK_ROWS")
 
@@ -64,6 +67,50 @@ def _bwd_rows(num_surfaces: int, block_rows: int) -> int:
     return max(1, min(pow2, 64, block_rows))
 
 
+def _manual_vjp(gen, c, a, Px, Py, cots, *, flags, final_prop, kahan,
+                polar_state):
+    """Per-surface reverse sweep with boundary-state checkpointing.
+
+    A single jax.vjp over the whole pipeline keeps EVERY surface's AD
+    residuals live in VMEM at once (rows*S budget — the round-3 block-size
+    cap), and jax.checkpoint cannot help because Mosaic has no remat2
+    lowering. Manual remat instead: the forward sweep stores only each
+    surface's ~10-array boundary state; the reverse sweep re-runs ONE
+    surface under jax.vjp at a time, so peak liveness is boundary states
+    + a single surface's residuals. Same FLOPs as remat, plain primitives.
+    """
+    from .pallas_trace import (_gen_epilogue, _gen_prologue, _polar_layout,
+                               _state_step)
+    S = len(flags)
+    n_ev, pol_scale = _polar_layout(polar_state)
+    st0, vjp_pro = jax.vjp(
+        lambda g, px, py: _gen_prologue(g, px, py, kahan=kahan,
+                                        polar_state=polar_state),
+        gen, Px, Py)
+    steps = [_state_step(flag, kahan, n_ev) for flag in flags]
+    states = [st0]
+    st = st0
+    for k in range(S):
+        st = steps[k](c[k], a[k], st)
+        states.append(st)
+    _, vjp_epi = jax.vjp(
+        lambda s, g: _gen_epilogue(s, g, kahan=kahan, n_ev=n_ev,
+                                   pol_scale=pol_scale,
+                                   final_prop=final_prop),
+        st, gen)
+    cot_st, dgen = vjp_epi(cots)
+    dc_rows = [None] * S
+    da_rows = [None] * S
+    for k in reversed(range(S)):
+        _, vjp_k = jax.vjp(steps[k], c[k], a[k], states[k])
+        dck, dak, cot_st = vjp_k(cot_st)
+        dc_rows[k] = dck
+        da_rows[k] = dak
+    dgen_p, dPx, dPy = vjp_pro(cot_st)
+    dgen = dgen + dgen_p
+    return dgen, jnp.stack(dc_rows), jnp.stack(da_rows), dPx, dPy
+
+
 def _gen_bwd_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
                     dxo_ref, dyo_ref, dzo_ref, dlo_ref, dmo_ref, dno_ref,
                     dio_ref, doo_ref,
@@ -72,8 +119,6 @@ def _gen_bwd_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
                     polar_state=None):
     from jax.experimental import pallas as pl
 
-    f = functools.partial(_gen_pipeline, flags=flags, final_prop=final_prop,
-                          kahan=kahan, polar_state=polar_state)
     gen = gen_ref[0, :]
     c = consts_ref[0]
     a = acoef_ref[:]
@@ -81,9 +126,9 @@ def _gen_bwd_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
     Py = py_ref[:]
     cots = (dxo_ref[0], dyo_ref[0], dzo_ref[0], dlo_ref[0], dmo_ref[0],
             dno_ref[0], dio_ref[0], doo_ref[0])
-    _, vjp_fn = jax.vjp(lambda g, cc, aa, px, py: f(g, cc, aa, px, py),
-                        gen, c, a, Px, Py)
-    dgen, dc, da, dPx, dPy = vjp_fn(cots)
+    dgen, dc, da, dPx, dPy = _manual_vjp(
+        gen, c, a, Px, Py, cots, flags=flags, final_prop=final_prop,
+        kahan=kahan, polar_state=polar_state)
 
     w = pl.program_id(0)
     i = pl.program_id(1)

@@ -611,7 +611,7 @@ def _q2d_sag_grad(c, acoef, terms: tuple, xx, yy):
 
 
 def _polar_update(evecs, L0, M0, N0, L1, M1, N1, diag=None,
-                  refract_only: bool = False):
+                  refract_only: bool = False, normal=None):
     """Real Jones-chain update (core/polarization.py
     polarization_update_matrix; reference rays/polarized_rays.py:115-153)
     applied DIRECTLY to the propagating E-field vectors: the surface matrix
@@ -640,10 +640,31 @@ def _polar_update(evecs, L0, M0, N0, L1, M1, N1, diag=None,
                         ct * ey + (uz * ex - ux * ez) + uy * ue,
                         ct * ez + (ux * ey - uy * ex) + uz * ue))
         return tuple(out)
-    sx = M0 * N1 - N0 * M1
-    sy = N0 * L1 - L0 * N1
-    sz = L0 * M1 - M0 * L1
-    mag2 = sx * sx + sy * sy + sz * sz
+    if normal == "plane":
+        # untilted flat surface, n = (0, 0, +-1): s ~ k0 x n collapses to
+        # (-+M0, +-L0, 0) with |s|^2 = L0^2 + M0^2 — no cross products at
+        # all (the sign is irrelevant: every s term in M is s-sign-even)
+        sx = -M0
+        sy = L0
+        sz = jnp.zeros_like(L0)
+        mag2 = L0 * L0 + M0 * M0
+    elif normal is not None:
+        # s ~ k0 x n: k1 always lies in span{k0, n}, so k0 x k1 = w (k0 x n)
+        # and the s DIRECTION is identical — without the near-normal-
+        # incidence cancellation that makes the k0 x k1 form's f32 direction
+        # %-level noisy (w -> 0 faster than sin theta). The magnitude must
+        # come from the components: 1 - (k0.n)^2 is itself a cancellation
+        # at small theta (measured 1e-2 normalization error).
+        nx, ny, nz = normal
+        sx = M0 * nz - N0 * ny
+        sy = N0 * nx - L0 * nz
+        sz = L0 * ny - M0 * nx
+        mag2 = sx * sx + sy * sy + sz * sz
+    else:
+        sx = M0 * N1 - N0 * M1
+        sy = N0 * L1 - L0 * N1
+        sz = L0 * M1 - M0 * L1
+        mag2 = sx * sx + sy * sy + sz * sz
     # normal incidence: fall back to k0 x [1,0,0] = (0, N0, -M0); the
     # threshold (not ==0) guards against FMA residuals of a bit-identical
     # k0 == k1 being normalized into a garbage basis (core/polarization.py)
@@ -651,7 +672,7 @@ def _polar_update(evecs, L0, M0, N0, L1, M1, N1, diag=None,
     sx = jnp.where(fb, 0.0, sx)
     sy = jnp.where(fb, N0, sy)
     sz = jnp.where(fb, -M0, sz)
-    mag2 = sx * sx + sy * sy + sz * sz
+    mag2 = jnp.where(fb, N0 * N0 + M0 * M0, mag2)
     inv = jax.lax.rsqrt(jnp.where(mag2 > 0, mag2, 1.0))
     sx, sy, sz = sx * inv, sy * inv, sz * inv
     # p0 = k0 x s, p1 = k1 x s
@@ -684,12 +705,18 @@ def _fresnel_diag(n1, n2, cos_i, is_refl: bool):
     sin2 = 1.0 - cos_i * cos_i
     rad = n * n - sin2
     root = jnp.sqrt(jnp.where(rad > _EPS, rad, _EPS))
+    # one shared reciprocal instead of two per-ray divides (divides are
+    # multi-op on the VPU; n, n*n are per-surface scalars)
+    n2c = n * n * cos_i
+    da = cos_i + root
+    db = n2c + root
+    inv = 1.0 / (da * db)
     if is_refl:
-        js = (cos_i - root) / (cos_i + root)
-        jp = (n * n * cos_i - root) / (n * n * cos_i + root)
+        js = (cos_i - root) * db * inv
+        jp = (n2c - root) * da * inv
         return js, -jp, -1.0
-    js = 2.0 * cos_i / (cos_i + root)
-    jp = 2.0 * n * cos_i / (n * n * cos_i + root)
+    js = 2.0 * cos_i * db * inv
+    jp = 2.0 * n * cos_i * da * inv
     return js, jp, 1.0
 
 
@@ -1014,6 +1041,7 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None,
     if evecs is not None:
         L_pre, M_pre, N_pre = L, M, N
     cos_i = None
+    pol_normal = None
 
     # ---- conic/plane slope + unit normal (shared by the diffractive
     # branches; the refract/reflect branches below build their own) ---------
@@ -1160,6 +1188,7 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None,
         nx, ny, nz = gx * inv_mag, gy * inv_mag, -inv_mag
         if evecs is not None:
             cos_i = jnp.abs(L * nx + M * ny + N * nz)
+            pol_normal = (nx, ny, nz)
         L, M, N, valid = _interact(nx, ny, nz, L, M, N, valid)
     elif gkind == "fresnel_designed":
         # designed facet slope m = -sin/(n_design - cos), tan = r/f
@@ -1176,16 +1205,19 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None,
         nx, ny, nz = dfdx * inv_mag, dfdy * inv_mag, -inv_mag
         if evecs is not None:
             cos_i = jnp.abs(L * nx + M * ny + N * nz)
+            pol_normal = (nx, ny, nz)
         L, M, N, valid = _interact(nx, ny, nz, L, M, N, valid)
     elif is_plane and is_refl:
         # flat mirror, normal (0, 0, -1): d -> d - 2(d.n)n flips N only
         if evecs is not None:
             cos_i = jnp.abs(N)
+            pol_normal = "plane"
         N = -N
     elif is_plane:
         # flat interface: Snell with normal (0, 0, 1)
         if evecs is not None:
             cos_i = jnp.abs(N)
+            pol_normal = "plane"
         u = n1 / n2
         disc_r = 1.0 - u * u * (1.0 - N * N)
         ok_r = disc_r >= 0
@@ -1207,6 +1239,7 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None,
         nx, ny, nz = dfdx * inv_mag, dfdy * inv_mag, -inv_mag
         if evecs is not None:
             cos_i = jnp.abs(L * nx + M * ny + N * nz)
+            pol_normal = (nx, ny, nz)
         L, M, N, valid = _interact(nx, ny, nz, L, M, N, valid)
 
     # ---- polarization chain (reference interactions/base.py:111-127:
@@ -1216,7 +1249,7 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None,
     if evecs is not None and inter is None:
         diag = _fresnel_diag(n1, n2, cos_i, is_refl) if fresnel_coat else None
         evecs = _polar_update(evecs, L_pre, M_pre, N_pre, L, M, N, diag,
-                              refract_only=not is_refl)
+                              refract_only=not is_refl, normal=pol_normal)
 
     # ---- scalar coating intensity factor (system/coatings.py SimpleCoating,
     # applied post-interaction like trace/real.py:121-126) ------------------
@@ -1397,20 +1430,28 @@ def _pallas_call_2d(consts, acoef, x, y, z, L, M, N, inten, opd,
     )(consts, acoef, x, y, z, L, M, N, inten, opd)
 
 
-def _gen_pipeline(gen, c_all, a_all, Px, Py, *, flags: tuple,
-                  final_prop: bool = False, kahan: bool = False,
-                  polar_state=None):
-    """Pure generation + trace pipeline over one monochromatic ray tile.
+def _polar_layout(polar_state):
+    """(n_evecs, scale): static layout of the propagated E-vector state for a
+    launch polarization (mirrors _polar_init's branching)."""
+    if polar_state is None:
+        return 0, 1.0
+    if isinstance(polar_state, str) or not polar_state.is_polarized:
+        return 2, 0.5
+    import math
+    exi = polar_state.Ex * math.sin(polar_state.phase_x)
+    eyi = polar_state.Ey * math.sin(polar_state.phase_y)
+    if exi == 0.0 and eyi == 0.0:
+        return 1, 1.0
+    return 2, 1.0
 
-    ``gen``: [8] vector [half_epd_vx, half_epd_vy, x_field, y_field, z0, epl,
-    t_img, 0] (infinite-object angle-field aiming, reference
-    rays/ray_generator.py:70-90). ``c_all``: [S, 32] per-surface constants;
-    ``a_all``: [S, C] geometry coefficients; Px/Py: pupil-sample tile.
 
-    Shared by the forward kernel and the backward (jax.vjp) kernel in
-    pallas_grad.py, so forward and reverse stay one code path. Returns the 8
-    final arrays with NaN injected for lost rays.
-    """
+def _gen_prologue(gen, Px, Py, *, kahan: bool, polar_state):
+    """Launch-state construction (infinite-object angle-field aiming,
+    reference rays/ray_generator.py:70-90) -> flat state tuple:
+    (x, y, z, L, M, N, inten, opd, validf[, opd_c][, ev0x, ev0y, ev0z, ...])
+    with validity carried as f32 so every state leaf is a float (the manual
+    per-surface reverse sweep in pallas_grad.py threads cotangents through
+    the state, and bool leaves would need float0 plumbing)."""
     half_epd_x = gen[0]
     half_epd_y = gen[1]
     x_field = gen[2]
@@ -1432,27 +1473,58 @@ def _gen_pipeline(gen, c_all, a_all, Px, Py, *, flags: tuple,
     N = dzr * inv_mag
     inten = jnp.ones_like(Px)
     opd = jnp.zeros_like(Px)
-    opd_c = jnp.zeros_like(Px) if kahan else None
-    valid = jnp.ones(Px.shape, dtype=bool)
-    evecs = None
-    pol_scale = 1.0
+    st = [x, y, z, L, M, N, inten, opd, jnp.ones_like(Px)]
+    if kahan:
+        st.append(jnp.zeros_like(Px))
     if polar_state is not None:
         # launch field vectors, propagated through every surface's
         # rank-structured Jones update (cheaper than composing the 3x3
         # chain; the final intensity is just sum |E|^2)
-        evecs, pol_scale = _polar_init(polar_state, L, M, N)
+        evecs, _ = _polar_init(polar_state, L, M, N)
+        for v in evecs:
+            st.extend(v)
+    return tuple(st)
 
-    for k, flag in enumerate(flags):
-        out = _surface_step(
-            c_all[k, :], x, y, z, L, M, N, inten, opd, valid, opd_c, evecs,
-            acoef=a_all[k, :], **_step_kwargs(flag))
+
+def _state_step(flag, kahan: bool, n_ev: int):
+    """One-surface step on the flat state tuple; positional array args only,
+    so the backward kernel can jax.vjp it per surface (manual remat)."""
+    kw = _step_kwargs(flag)
+
+    def step(c, a, st):
+        x, y, z, L, M, N, inten, opd, validf = st[:9]
+        idx = 9
+        opd_c = None
+        if kahan:
+            opd_c = st[idx]
+            idx += 1
+        evecs = None
+        if n_ev:
+            flat = st[idx:idx + 3 * n_ev]
+            evecs = tuple(tuple(flat[3 * i:3 * i + 3]) for i in range(n_ev))
+        out = _surface_step(c, x, y, z, L, M, N, inten, opd, validf > 0.5,
+                            opd_c, evecs, acoef=a, **kw)
         x, y, z, L, M, N, inten, opd, valid = out[:9]
         rest = out[9:]
+        new = [x, y, z, L, M, N, inten, opd, valid.astype(inten.dtype)]
         if kahan:
-            opd_c, rest = rest[0], rest[1:]
-        if evecs is not None:
-            evecs = rest[0]
-    if polar_state is not None:
+            new.append(rest[0])
+            rest = rest[1:]
+        if n_ev:
+            for v in rest[0]:
+                new.extend(v)
+        return tuple(new)
+    return step
+
+
+def _gen_epilogue(st, gen, *, kahan: bool, n_ev: int, pol_scale,
+                  final_prop: bool):
+    """Final intensity (polarized chains), image propagation, NaN injection."""
+    x, y, z, L, M, N, inten, opd, validf = st[:9]
+    idx = 9 + (1 if kahan else 0)
+    if n_ev:
+        flat = st[idx:idx + 3 * n_ev]
+        evecs = tuple(tuple(flat[3 * i:3 * i + 3]) for i in range(n_ev))
         # reference quirk, kept for parity (polarized_rays.update_intensity):
         # final intensity comes from the chain and the LAUNCH intensity,
         # overwriting per-surface aperture/coating factors
@@ -1462,7 +1534,31 @@ def _gen_pipeline(gen, c_all, a_all, Px, Py, *, flags: tuple,
         x = x + t_img * L
         y = y + t_img * M
         z = z + t_img * N
-    return _nanify8(x, y, z, L, M, N, inten, opd, valid)
+    return _nanify8(x, y, z, L, M, N, inten, opd, validf > 0.5)
+
+
+def _gen_pipeline(gen, c_all, a_all, Px, Py, *, flags: tuple,
+                  final_prop: bool = False, kahan: bool = False,
+                  polar_state=None):
+    """Pure generation + trace pipeline over one monochromatic ray tile.
+
+    ``gen``: [8] vector [half_epd_vx, half_epd_vy, x_field, y_field, z0, epl,
+    t_img, 0] (infinite-object angle-field aiming, reference
+    rays/ray_generator.py:70-90). ``c_all``: [S, 32] per-surface constants;
+    ``a_all``: [S, C] geometry coefficients; Px/Py: pupil-sample tile.
+
+    Composed of _gen_prologue -> _state_step per surface -> _gen_epilogue,
+    shared verbatim by the forward kernel and the backward kernel's manual
+    per-surface reverse sweep (pallas_grad.py), so forward and reverse stay
+    one code path. Returns the 8 final arrays with NaN injected for lost
+    rays.
+    """
+    n_ev, pol_scale = _polar_layout(polar_state)
+    st = _gen_prologue(gen, Px, Py, kahan=kahan, polar_state=polar_state)
+    for k, flag in enumerate(flags):
+        st = _state_step(flag, kahan, n_ev)(c_all[k, :], a_all[k, :], st)
+    return _gen_epilogue(st, gen, kahan=kahan, n_ev=n_ev,
+                         pol_scale=pol_scale, final_prop=final_prop)
 
 
 def _gen_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,

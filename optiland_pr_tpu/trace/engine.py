@@ -21,7 +21,8 @@ import numpy as np
 from . import real as real_trace
 from .raygen import generate_rays
 
-__all__ = ["final_rays", "pallas_eligible", "set_engine", "engine_override"]
+__all__ = ["final_rays", "pallas_eligible", "set_engine",
+           "engine_override", "resolve_engine"]
 
 _FORCE: str | None = None   # None | "auto" | "xla" | "pallas" | "pallas_interpret"
 
@@ -67,6 +68,23 @@ def _on_accelerator() -> bool:
     return jax.devices()[0].platform != "cpu"
 
 
+def resolve_engine(model, Hx, Hy, apodization, n_rays: int,
+                   on_accelerator: bool | None = None,
+                   mode: str = "auto") -> str:
+    """The dispatch decision, factored out so tests can pin the crossover
+    policy without timing hardware: returns "pallas" or "xla"."""
+    ok = pallas_eligible(model, Hx, Hy, apodization)
+    if mode in ("pallas", "pallas_interpret"):
+        if not ok:
+            raise ValueError(
+                "system/call not eligible for the fused Pallas kernel")
+        return "pallas"
+    if mode == "xla":
+        return "xla"
+    acc = _on_accelerator() if on_accelerator is None else on_accelerator
+    return "pallas" if (ok and acc and n_rays >= _PALLAS_MIN_RAYS) else "xla"
+
+
 def _xla_final(model, params, Hx, Hy, wavelength, Px, Py, apodization,
                final_prop):
     """XLA path: one wavelength, scalar or [F] field coords; returns the final
@@ -108,16 +126,10 @@ def final_rays(model, params, Hx, Hy, wavelength, Px, Py, *,
     use_pallas = False
     interpret = False
     if mode in ("auto", "pallas", "pallas_interpret"):
-        ok = pallas_eligible(model, Hx, Hy, apodization)
-        if mode == "auto":
-            n_rays = int(jnp.shape(jnp.asarray(Px))[-1])  # static under jit
-            use_pallas = ok and _on_accelerator() \
-                and n_rays >= _PALLAS_MIN_RAYS
-        elif not ok:
-            raise ValueError(
-                "system/call not eligible for the fused Pallas kernel")
-        else:
-            use_pallas = True
+        n_rays = int(jnp.shape(jnp.asarray(Px))[-1])  # static under jit
+        use_pallas = resolve_engine(model, Hx, Hy, apodization, n_rays,
+                                    mode=mode) == "pallas"
+        if use_pallas and mode != "auto":
             interpret = (mode == "pallas_interpret") or not _on_accelerator()
 
     if use_pallas:

@@ -135,7 +135,8 @@ def trace_surface(model: OpticModel, params, k: int, rays: R.Rays,
                 jones = coating.jones(n1, n2, aoi, spec.is_reflective)
             from ..core.polarization import apply_polarization_update
             p_new = apply_polarization_update(rays.p, L0, M0, N0,
-                                              rays.L, rays.M, rays.N, jones)
+                                              rays.L, rays.M, rays.N, jones,
+                                              normal=(nx, ny, nz))
             rays = rays.replace(p=p_new)
 
         if spec.bsdf is not None:

@@ -195,3 +195,43 @@ def test_file_aperture_parity(ref_optiland, tmp_path):
     ours2 = FileAperture(str(f2), delimiter=",")
     np.testing.assert_allclose(np.asarray(ours2.default_params()["vertices"]),
                                np.asarray(p["vertices"]), atol=1e-6)
+
+
+def test_huygens_f32_phase_referencing():
+    """Round-4 audit: the naive Huygens sum evaluates cos(k*(opd+R)) at
+    k*R ~ 1e6 rad where the f32 ulp is ~0.1 rad — ~10% PSF error on any
+    f32 backend (this is what the TPU always runs). The re-referenced form
+    (host-f64 residual phase mod 2pi + cancellation-free dr) must stay at
+    f32 rounding level; the naive form's failure is pinned as the contrast."""
+    from optiland_pr_tpu.kernels.huygens import (huygens_fresnel_ref,
+                                                 huygens_fresnel_xla)
+    rng = np.random.default_rng(11)
+    P, I = 512, 256
+    px = rng.uniform(-5, 5, P)
+    py = rng.uniform(-5, 5, P)
+    pz = np.full(P, -50.0)
+    opd = rng.normal(0, 5e-4, P)   # wavefront OPD: wavelength-scale, near 0
+    # (the caller passes reference-sphere-relative OPD; the mm-scale absolute
+    # distance lives in R, which the re-referencing handles)
+    amp = rng.uniform(0.5, 1.0, P)
+    ix = rng.uniform(-0.05, 0.05, I)
+    iy = rng.uniform(-0.05, 0.05, I)
+    iz = np.zeros(I)
+    k = 2 * np.pi / 0.55e-3
+    Rp = 50.0
+
+    a64 = [jnp.asarray(v, jnp.float64) for v in
+           (px, py, pz, amp, opd, ix, iy, iz)]
+    truth = np.asarray(huygens_fresnel_xla(*a64, k, Rp))
+    a32 = [jnp.asarray(v, jnp.float32) for v in
+           (px, py, pz, amp, opd, ix, iy, iz)]
+    naive32 = np.asarray(huygens_fresnel_xla(*a32, k, Rp))
+    ref32 = np.asarray(huygens_fresnel_ref(*a32, k, Rp))
+    scale = truth.max()
+    err_naive = np.max(np.abs(naive32 - truth)) / scale
+    err_ref = np.max(np.abs(ref32 - truth)) / scale
+    assert err_ref < 2e-4, err_ref
+    assert err_naive > 100 * err_ref, (err_naive, err_ref)
+    # and the two forms agree exactly in f64 (algebraic identity)
+    ref64 = np.asarray(huygens_fresnel_ref(*a64, k, Rp))
+    np.testing.assert_allclose(ref64, truth, rtol=1e-9, atol=1e-12 * scale)
