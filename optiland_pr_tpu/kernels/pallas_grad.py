@@ -68,7 +68,7 @@ def _bwd_rows(num_surfaces: int, block_rows: int) -> int:
 
 
 def _manual_vjp(gen, c, a, Px, Py, cots, *, flags, final_prop, kahan,
-                polar_state):
+                polar_state, split=False):
     """Per-surface reverse sweep with boundary-state checkpointing.
 
     A single jax.vjp over the whole pipeline keeps EVERY surface's AD
@@ -85,9 +85,14 @@ def _manual_vjp(gen, c, a, Px, Py, cots, *, flags, final_prop, kahan,
     n_ev, pol_scale = _polar_layout(polar_state)
     st0, vjp_pro = jax.vjp(
         lambda g, px, py: _gen_prologue(g, px, py, kahan=kahan,
-                                        polar_state=polar_state),
+                                        polar_state=polar_state, split=split),
         gen, Px, Py)
-    steps = [_state_step(flag, kahan, n_ev) for flag in flags]
+    steps = []
+    sigma = 1.0
+    for flag in flags:
+        steps.append(_state_step(flag, kahan, n_ev, split, sigma))
+        if flag[1]:
+            sigma = -sigma
     states = [st0]
     st = st0
     for k in range(S):
@@ -96,7 +101,7 @@ def _manual_vjp(gen, c, a, Px, Py, cots, *, flags, final_prop, kahan,
     _, vjp_epi = jax.vjp(
         lambda s, g: _gen_epilogue(s, g, kahan=kahan, n_ev=n_ev,
                                    pol_scale=pol_scale,
-                                   final_prop=final_prop),
+                                   final_prop=final_prop, split=split),
         st, gen)
     cot_st, dgen = vjp_epi(cots)
     dc_rows = [None] * S
@@ -116,7 +121,7 @@ def _gen_bwd_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
                     dio_ref, doo_ref,
                     dgen_ref, dconsts_ref, dacoef_ref, dpx_ref, dpy_ref,
                     *, flags: tuple, final_prop: bool, kahan: bool,
-                    polar_state=None):
+                    polar_state=None, split: bool = False):
     from jax.experimental import pallas as pl
 
     gen = gen_ref[0, :]
@@ -128,7 +133,7 @@ def _gen_bwd_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
             dno_ref[0], dio_ref[0], doo_ref[0])
     dgen, dc, da, dPx, dPy = _manual_vjp(
         gen, c, a, Px, Py, cots, flags=flags, final_prop=final_prop,
-        kahan=kahan, polar_state=polar_state)
+        kahan=kahan, polar_state=polar_state, split=split)
 
     w = pl.program_id(0)
     i = pl.program_id(1)
@@ -162,11 +167,13 @@ def _gen_bwd_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
 
 @functools.partial(jax.jit, static_argnames=("flags", "block_rows",
                                              "final_prop", "interpret",
-                                             "kahan", "polar_state"))
+                                             "kahan", "polar_state",
+                                             "split"))
 def _pallas_gen_bwd_2d(gen, consts, acoef, Px, Py, dx, dy, dz, dl, dm, dn,
                        di, do, flags: tuple, block_rows: int,
                        final_prop: bool = False, interpret: bool = False,
-                       kahan: bool = False, polar_state=None):
+                       kahan: bool = False, polar_state=None,
+                       split: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -197,7 +204,7 @@ def _pallas_gen_bwd_2d(gen, consts, acoef, Px, Py, dx, dy, dz, dl, dm, dn,
     out_specs = [gen_spec, const_spec, acoef_spec, cot_spec, cot_spec]
     kernel = functools.partial(_gen_bwd_kernel, flags=flags,
                                final_prop=final_prop, kahan=kahan,
-                               polar_state=polar_state)
+                               polar_state=polar_state, split=split)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -211,7 +218,8 @@ def _pallas_gen_bwd_2d(gen, consts, acoef, Px, Py, dx, dy, dz, dl, dm, dn,
 
 @functools.lru_cache(maxsize=128)
 def diff_gen_trace(flags: tuple, block_rows: int, final_prop: bool,
-                   interpret: bool, kahan: bool, polar_state=None):
+                   interpret: bool, kahan: bool, polar_state=None,
+                   split: bool = False):
     """custom_vjp-wrapped fused gen+trace core for a static surface-stack
     configuration. Signature of the returned function:
     ``f(gen, consts, acoef, Px2d, Py2d) -> (x, y, z, L, M, N, inten, opd)``
@@ -223,7 +231,7 @@ def diff_gen_trace(flags: tuple, block_rows: int, final_prop: bool,
         return tuple(_pallas_gen_trace_2d(
             gen, consts, acoef, Px, Py, flags=flags, block_rows=block_rows,
             final_prop=final_prop, interpret=interpret, kahan=kahan,
-            polar_state=polar_state))
+            polar_state=polar_state, split=split))
 
     def fwd(gen, consts, acoef, Px, Py):
         return f(gen, consts, acoef, Px, Py), (gen, consts, acoef, Px, Py)
@@ -237,7 +245,7 @@ def diff_gen_trace(flags: tuple, block_rows: int, final_prop: bool,
         dgen, dconsts, dacoef, dPxw, dPyw = _pallas_gen_bwd_2d(
             gen, consts, acoef, Px, Py, *cots, flags=flags,
             block_rows=bwd_rows, final_prop=final_prop, interpret=interpret,
-            kahan=kahan, polar_state=polar_state)
+            kahan=kahan, polar_state=polar_state, split=split)
         return (dgen, dconsts, dacoef,
                 jnp.sum(dPxw, axis=0), jnp.sum(dPyw, axis=0))
 

@@ -51,7 +51,7 @@ from ..system.model import OpticModel, positions_from_params
 
 __all__ = ["pack_surface_constants", "pack_asphere_coeffs",
            "pallas_trace_conic", "pallas_gen_trace_conic",
-           "supports_model", "model_flags"]
+           "supports_model", "supports_split_opd", "model_flags"]
 
 _EPS = 1e-14
 
@@ -115,6 +115,20 @@ def supports_model(model: OpticModel) -> bool:
     # (Fresnel s/p coefficients are real in the refract/mirror regime; TIR
     # rays are invalid anyway; complex LAUNCH states decompose into two real
     # projections at the final intensity)
+    return True
+
+
+def supports_split_opd(model: OpticModel) -> bool:
+    """True when the meter-scale split-OPD accumulation applies: an
+    untilted conic/plane refract/reflect stack (the gap-path decomposition
+    assumes per-surface z-frames and axial propagation signs)."""
+    for spec in model.surfaces[1:]:
+        if spec.geometry.kind not in ("standard", "plane"):
+            return False
+        if spec.interaction != "refract_reflect":
+            return False
+        if spec.has_tilt_decenter:
+            return False
     return True
 
 
@@ -225,8 +239,13 @@ def _pack_rows(model: OpticModel, params, wavelength) -> jnp.ndarray:
         apr = jnp.stack([jnp.reshape(rmin2, ()), jnp.reshape(rmax2, ()),
                          jnp.reshape(aox, ()), jnp.reshape(aoy, ()),
                          jnp.reshape(gx24, ()), jnp.reshape(gx25, ())])
-        row = jnp.concatenate([head, Rm, tvec, apr,
-                               jnp.zeros(_CONST_W - 26)])
+        # slot 27: signed vertex gap pos[k] - pos[k-1] (split-OPD mode);
+        # k=1's gap to the LAUNCH plane is overridden by the gen caller
+        # (pos[0] is -inf for infinite objects)
+        dz_gap = jnp.reshape(pos[k] - pos[k - 1], ())
+        dz_gap = jnp.where(jnp.isfinite(dz_gap), dz_gap, 0.0)
+        row = jnp.concatenate([head, Rm, tvec, apr, jnp.zeros(1),
+                               dz_gap[None], jnp.zeros(_CONST_W - 28)])
         rows.append(row)
     return jnp.stack(rows).astype(jnp.float32)
 
@@ -875,7 +894,8 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None,
                   gkind: str = "conic", nu: int = 0, nv: int = 0,
                   has_cs: bool = False, has_ap: bool = False,
                   has_coat: bool = False, fresnel_coat: bool = False,
-                  gextra=None, inter=None):
+                  gextra=None, inter=None, split: bool = False,
+                  sigma: float = 1.0):
     """One surface interaction; all elementwise VPU ops.
 
     is_plane/is_refl/absorbing/has_cs/has_ap/has_coat are STATIC (baked from
@@ -921,6 +941,13 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None,
         Mn = r01 * L + r11 * M + r21 * N
         Nn = r02 * L + r12 * M + r22 * N
         L, M, N = Ln, Mn, Nn
+    elif split:
+        # split-OPD frame convention: z arrives LOCAL to the previous
+        # surface's vertex (sag-scale, f32-precise); shift by the vertex
+        # gap for the intersection geometry. zp is kept for the exact
+        # gap-path decomposition below.
+        zp = z
+        z = z - c[27]
     else:
         z = z - pos_z
 
@@ -955,7 +982,8 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None,
         t_near = cc / jnp.where(jnp.abs(q) > _EPS,
                                 q, jnp.where(q >= 0, _EPS, -_EPS))
         tq = jnp.where(jnp.abs(t_near) <= jnp.abs(t_far), t_near, t_far)
-        t = t0 + jnp.where(ok, tq, 0.0)
+        tq = jnp.where(ok, tq, 0.0)
+        t = t0 + tq
         valid = valid & ok
 
     if newton_geom:
@@ -998,16 +1026,50 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None,
     x = x + t * L
     y = y + t * M
     z = z + t * N
-    path = jnp.abs(t * n1)
-    if opd_c is None:
-        opd = opd + path
-    else:
-        # Kahan compensated accumulation (SURVEY §7): recovers the low-order
-        # bits the plain f32 sum of ~1e3-mm path lengths throws away
-        yk = path - opd_c
+    if split:
+        # Meter-scale f32 OPD (SURVEY §7 hard part): never form n*t at gap
+        # magnitude. With sigma = static propagation sign (so |N| = sigma*N)
+        # and zp the entry z local to the previous vertex (sag-scale):
+        #   n*t0 = n*(dz - zp)/N
+        #        = n*|dz|                        [axial base: summed by the
+        #                                         caller from the constants,
+        #                                         identical for every ray]
+        #        + n*|dz| * (1-|N|)/|N|          [B: (1-|N|) = (L^2+M^2)/(1+|N|)
+        #                                         -- cancellation-free]
+        #        - sigma*n*zp/|N|                [C: sag-scale]
+        #   n*tq                                 [D: relative-precise root]
+        # Only B+C+D (wavefront-relevant deviations) enter the per-ray
+        # accumulator, Kahan-compensated; the f32 floor drops from
+        # intersection roundoff (~ulp(gap)) to ~ulp(sag).
+        aN = sigma * N
+        onem = (L * L + M * M) / (1.0 + aN)
+        dev = (n1 * sigma * c[27]) * (onem / aN) - (sigma * n1) * zp / aN
+        if not (is_plane or fresnel) and not newton_geom:
+            dev = dev + n1 * tq
+        yk = dev - opd_c
         tk = opd + yk
         opd_c = (tk - opd) - yk
         opd = tk
+    else:
+        path = jnp.abs(t * n1)
+        if opd_c is None:
+            opd = opd + path
+        else:
+            # Kahan compensated accumulation (SURVEY §7): recovers the
+            # low-order bits the plain f32 sum of ~1e3-mm path lengths
+            # throws away
+            yk = path - opd_c
+            tk = opd + yk
+            opd_c = (tk - opd) - yk
+            opd = tk
+    if split:
+        # refresh z from the EXACT sag at the landed (x, y): the additive
+        # z + t*N carries the absorbed gap-scale roundoff, the sag is
+        # relative-precise
+        if is_plane or fresnel:
+            z = jnp.zeros_like(z)
+        else:
+            z = _conic_base(radius_inv, conic, x, y)[0]
     if absorbing:
         inten = inten * jnp.exp(-alpha * t * 1e3)
 
@@ -1265,7 +1327,7 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None,
         Mg = r10 * L + r11 * M + r12 * N
         Ng = r20 * L + r21 * M + r22 * N
         x, y, z, L, M, N = xg, yg, zg, Lg, Mg, Ng
-    else:
+    elif not split:
         z = z + pos_z
     ret = [x, y, z, L, M, N, inten, opd, valid]
     if opd_c is not None:
@@ -1445,7 +1507,8 @@ def _polar_layout(polar_state):
     return 2, 1.0
 
 
-def _gen_prologue(gen, Px, Py, *, kahan: bool, polar_state):
+def _gen_prologue(gen, Px, Py, *, kahan: bool, polar_state,
+                  split: bool = False):
     """Launch-state construction (infinite-object angle-field aiming,
     reference rays/ray_generator.py:70-90) -> flat state tuple:
     (x, y, z, L, M, N, inten, opd, validf[, opd_c][, ev0x, ev0y, ev0z, ...])
@@ -1473,8 +1536,12 @@ def _gen_prologue(gen, Px, Py, *, kahan: bool, polar_state):
     N = dzr * inv_mag
     inten = jnp.ones_like(Px)
     opd = jnp.zeros_like(Px)
+    if split:
+        # split-OPD frame: the state's z is LOCAL to the launch plane
+        # (zero there); aiming above used the true z
+        z = jnp.zeros_like(Px)
     st = [x, y, z, L, M, N, inten, opd, jnp.ones_like(Px)]
-    if kahan:
+    if kahan or split:
         st.append(jnp.zeros_like(Px))
     if polar_state is not None:
         # launch field vectors, propagated through every surface's
@@ -1486,16 +1553,18 @@ def _gen_prologue(gen, Px, Py, *, kahan: bool, polar_state):
     return tuple(st)
 
 
-def _state_step(flag, kahan: bool, n_ev: int):
+def _state_step(flag, kahan: bool, n_ev: int, split: bool = False,
+                sigma: float = 1.0):
     """One-surface step on the flat state tuple; positional array args only,
     so the backward kernel can jax.vjp it per surface (manual remat)."""
     kw = _step_kwargs(flag)
+    has_c = kahan or split
 
     def step(c, a, st):
         x, y, z, L, M, N, inten, opd, validf = st[:9]
         idx = 9
         opd_c = None
-        if kahan:
+        if has_c:
             opd_c = st[idx]
             idx += 1
         evecs = None
@@ -1503,11 +1572,12 @@ def _state_step(flag, kahan: bool, n_ev: int):
             flat = st[idx:idx + 3 * n_ev]
             evecs = tuple(tuple(flat[3 * i:3 * i + 3]) for i in range(n_ev))
         out = _surface_step(c, x, y, z, L, M, N, inten, opd, validf > 0.5,
-                            opd_c, evecs, acoef=a, **kw)
+                            opd_c, evecs, acoef=a, split=split, sigma=sigma,
+                            **kw)
         x, y, z, L, M, N, inten, opd, valid = out[:9]
         rest = out[9:]
         new = [x, y, z, L, M, N, inten, opd, valid.astype(inten.dtype)]
-        if kahan:
+        if has_c:
             new.append(rest[0])
             rest = rest[1:]
         if n_ev:
@@ -1518,10 +1588,13 @@ def _state_step(flag, kahan: bool, n_ev: int):
 
 
 def _gen_epilogue(st, gen, *, kahan: bool, n_ev: int, pol_scale,
-                  final_prop: bool):
+                  final_prop: bool, split: bool = False):
     """Final intensity (polarized chains), image propagation, NaN injection."""
     x, y, z, L, M, N, inten, opd, validf = st[:9]
-    idx = 9 + (1 if kahan else 0)
+    if split:
+        # restore global z from the last surface's vertex position (gen[7])
+        z = z + gen[7]
+    idx = 9 + (1 if (kahan or split) else 0)
     if n_ev:
         flat = st[idx:idx + 3 * n_ev]
         evecs = tuple(tuple(flat[3 * i:3 * i + 3]) for i in range(n_ev))
@@ -1539,7 +1612,7 @@ def _gen_epilogue(st, gen, *, kahan: bool, n_ev: int, pol_scale,
 
 def _gen_pipeline(gen, c_all, a_all, Px, Py, *, flags: tuple,
                   final_prop: bool = False, kahan: bool = False,
-                  polar_state=None):
+                  polar_state=None, split: bool = False):
     """Pure generation + trace pipeline over one monochromatic ray tile.
 
     ``gen``: [8] vector [half_epd_vx, half_epd_vy, x_field, y_field, z0, epl,
@@ -1554,17 +1627,23 @@ def _gen_pipeline(gen, c_all, a_all, Px, Py, *, flags: tuple,
     rays.
     """
     n_ev, pol_scale = _polar_layout(polar_state)
-    st = _gen_prologue(gen, Px, Py, kahan=kahan, polar_state=polar_state)
+    st = _gen_prologue(gen, Px, Py, kahan=kahan, polar_state=polar_state,
+                       split=split)
+    sigma = 1.0
     for k, flag in enumerate(flags):
-        st = _state_step(flag, kahan, n_ev)(c_all[k, :], a_all[k, :], st)
+        st = _state_step(flag, kahan, n_ev, split, sigma)(
+            c_all[k, :], a_all[k, :], st)
+        if flag[1]:                    # reflective: propagation sign flips
+            sigma = -sigma
     return _gen_epilogue(st, gen, kahan=kahan, n_ev=n_ev,
-                         pol_scale=pol_scale, final_prop=final_prop)
+                         pol_scale=pol_scale, final_prop=final_prop,
+                         split=split)
 
 
 def _gen_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
                 xo, yo, zo, lo, mo, no, io, oo, *, flags: tuple,
                 final_prop: bool = False, kahan: bool = False,
-                polar_state=None):
+                polar_state=None, split: bool = False):
     """Fused ray-generation + trace: inputs are just the pupil samples.
     With ``final_prop``, the post-image-surface propagation by the image
     thickness (raytrace/real_ray_tracer.py:85-92) is fused in as well, so the
@@ -1576,7 +1655,7 @@ def _gen_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
     x, y, z, L, M, N, inten, opd = _gen_pipeline(
         gen_ref[0, :], consts_ref[0], acoef_ref[:], px_ref[:], py_ref[:],
         flags=flags, final_prop=final_prop, kahan=kahan,
-        polar_state=polar_state)
+        polar_state=polar_state, split=split)
     xo[0, :, :] = x
     yo[0, :, :] = y
     zo[0, :, :] = z
@@ -1589,11 +1668,12 @@ def _gen_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
 
 @functools.partial(jax.jit, static_argnames=("flags", "block_rows",
                                              "final_prop", "interpret",
-                                             "kahan", "polar_state"))
+                                             "kahan", "polar_state",
+                                             "split"))
 def _pallas_gen_trace_2d(gen, consts, acoef, Px, Py, flags: tuple,
                          block_rows: int, final_prop: bool = False,
                          interpret: bool = False, kahan: bool = False,
-                         polar_state=None):
+                         polar_state=None, split: bool = False):
     """Grid is (W, ray blocks): axis 0 selects the per-wavelength constant
     set; every block reuses the same pupil samples (the reference traces the
     same pupil distribution per wavelength)."""
@@ -1618,7 +1698,7 @@ def _pallas_gen_trace_2d(gen, consts, acoef, Px, Py, flags: tuple,
     out_shape = [jax.ShapeDtypeStruct((W, rows, lanes), Px.dtype)] * 8
     kernel = functools.partial(_gen_kernel, flags=flags,
                                final_prop=final_prop, kahan=kahan,
-                               polar_state=polar_state)
+                               polar_state=polar_state, split=split)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -1634,7 +1714,8 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
                            block_rows: int = 128, flags: tuple | None = None,
                            final_prop: bool = False,
                            interpret: bool = False, kahan: bool = False,
-                           differentiable: bool = False):
+                           differentiable: bool = False,
+                           opd_split: bool = False):
     """Fused generation + trace for infinite-object angle-field systems: the
     kernel's only array inputs are the normalized pupil samples (8 bytes/ray
     HBM read), everything else lives in VMEM. ``final_prop`` fuses the
@@ -1649,6 +1730,11 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
     ``differentiable``: route through the custom_vjp core (pallas_grad.py) so
     jax.grad of any function of the returned rays runs a fused Pallas
     backward kernel instead of falling back to (or failing on) XLA AD.
+    ``opd_split``: meter-scale f32 OPD (requires supports_split_opd): rays
+    come back with opd = DEVIATION from the axial reference path, and the
+    function returns ``(rays, opd_base)`` with the per-wavelength scalar
+    base (total OPD = base + deviation; wavefront work differences the
+    deviations directly, which is where the f32 precision lives).
     """
     from ..trace.paraxial import Paraxial
     from ..core.rays import Rays
@@ -1680,9 +1766,16 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
     # eligibility pins vig to 0 numerically, but folding it into the half-EPD
     # keeps d(merit)/d(vig) exact instead of silently zero
     vxf, vyf = vig_factor(model, params, Hx, Hy)
+    if opd_split:
+        assert supports_split_opd(model), \
+            "opd_split needs an untilted conic/plane refract/reflect stack"
+        # surface 1's vertex gap is measured from the LAUNCH plane
+        consts = consts.at[:, 0, 27].set(
+            jnp.reshape(pos[1] - z0s, ()).astype(consts.dtype))
+    gen7 = jnp.reshape(pos[-1], ()) if opd_split else jnp.zeros(())
     gen = jnp.stack([EPD / 2 * (1.0 - jnp.reshape(vxf, ())),
                      EPD / 2 * (1.0 - jnp.reshape(vyf, ())), xf, yf, z0s, EPL,
-                     t_img, jnp.zeros(())]).astype(jnp.float32)
+                     t_img, gen7]).astype(jnp.float32)
     gen = gen.reshape(1, 8)
 
     n = Px.shape[-1]
@@ -1702,13 +1795,14 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
     if differentiable:
         from .pallas_grad import diff_gen_trace
         core = diff_gen_trace(flags, block_rows, final_prop, interpret, kahan,
-                              polar_state)
+                              polar_state, opd_split)
         out = core(gen, consts, acoef, shape(Px), shape(Py))
     else:
         out = _pallas_gen_trace_2d(gen, consts, acoef, shape(Px), shape(Py),
                                    flags=flags, block_rows=block_rows,
                                    final_prop=final_prop, interpret=interpret,
-                                   kahan=kahan, polar_state=polar_state)
+                                   kahan=kahan, polar_state=polar_state,
+                                   split=opd_split)
     W = wls.shape[0]
     x, y, z, L, M, N, inten, opd = [
         o.reshape(W, -1)[:, :n] for o in out]
@@ -1719,8 +1813,24 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
     else:
         x, y, z, L, M, N, inten, opd, wl_col = [
             v.reshape(-1) for v in (x, y, z, L, M, N, inten, opd, wl_col)]
-    return Rays(x=x, y=y, z=z, L=L, M=M, N=N, intensity=inten,
-                wavelength=wl_col, opd=opd, p=None)
+    rays_out = Rays(x=x, y=y, z=z, L=L, M=M, N=N, intensity=inten,
+                    wavelength=wl_col, opd=opd, p=None)
+    if not opd_split:
+        return rays_out
+    # axial reference path: sum_k sigma_k * n1_k * dz_k from the constants
+    # (per wavelength; identical for every ray — the deviation in rays.opd
+    # plus this base is the absolute OPD)
+    sigma = 1.0
+    sigmas = []
+    for flag in flags:
+        sigmas.append(sigma)
+        if flag[1]:
+            sigma = -sigma
+    sig = jnp.asarray(sigmas, consts.dtype)
+    base = jnp.sum(sig[None, :] * consts[:, :, 3] * consts[:, :, 27], axis=1)
+    if wl.ndim == 0:
+        base = base[0]
+    return rays_out, base
 
 
 def pallas_trace_conic(model: OpticModel, params, rays, wavelength,
