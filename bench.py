@@ -273,41 +273,65 @@ def bench_grad(name, build, wavelength, n_rays, engine):
 
 def bench_probe():
     """Fixed roofline probes, run with every suite so cross-session numbers
-    can be normalized for tunnel drift (VERDICT r3 weak item 7): one dense
-    f32 MXU matmul and one VPU-bound elementwise chain shaped like a surface
-    step (the trace kernels are VPU-bound, so the VPU probe is the relevant
-    normalizer for rays/s entries)."""
+    can be normalized for tunnel drift (VERDICT r3 weak item 7): a chained
+    dense f32 MXU matmul and a VPU-bound elementwise chain shaped like a
+    surface step (the trace kernels are VPU-bound, so the VPU probe is the
+    relevant normalizer for rays/s entries).
+
+    Probe hygiene, learned the hard way: each timed call gets a DIFFERENT
+    input and blocks individually (the axon tunnel appears to coalesce
+    identical queued requests — an async-queued constant-input matmul
+    measured an impossible 4000 TFLOP/s), and the in-jit chain is long
+    enough that device time dwarfs the per-call tunnel latency."""
+    import time as _time_mod
+
     import jax
     import jax.numpy as jnp
 
-    n = 4096
-    a = jnp.ones((n, n), jnp.float32) * 0.5
-    b = jnp.ones((n, n), jnp.float32) * 0.25
+    n = 2048
+    chain = 32
+    # row-stochastic b keeps the chain bounded
+    b = jnp.full((n, n), 1.0 / n, jnp.float32)
 
     @jax.jit
-    def mxu(a, b):
-        return a @ b
+    def mxu(seed, b):
+        x = jnp.full((n, n), 1.0, jnp.float32) * seed
+        for _ in range(chain):
+            x = x @ b
+        return jnp.sum(x)
 
-    t_mxu = _time(mxu, a, b, reps=5, rounds=3)
-    tflops = 2 * n**3 / t_mxu / 1e12
+    def _run(f, *args_fn, reps=3):
+        # float() forces a device-to-host fetch of the scalar result —
+        # block_until_ready alone returned before the remote device finished
+        float(f(jnp.float32(1.0), *args_fn))
+        ts = []
+        for i in range(reps):
+            t0 = _time_mod.perf_counter()
+            float(f(jnp.float32(1.0 + 0.001 * i), *args_fn))
+            ts.append(_time_mod.perf_counter() - t0)
+        return min(ts)
+
+    t_mxu = _run(mxu, b)
+    tflops = chain * 2 * n**3 / t_mxu / 1e12
 
     m = 1 << 22
-    v = jnp.linspace(0.1, 1.0, m, dtype=jnp.float32)
+    vchain = 128
 
     @jax.jit
-    def vpu(v):
+    def vpu(seed):
+        v = jnp.linspace(0.1, 1.0, m, dtype=jnp.float32) * seed
         x = v
-        for _ in range(32):
+        for _ in range(vchain):
             x = x * v + 0.5
             x = x * jax.lax.rsqrt(x * x + 1.0)
         return jnp.sum(x)
 
-    t_vpu = _time(vpu, v, reps=5, rounds=3)
-    vpu_gops = 32 * 6 * m / t_vpu / 1e9
+    t_vpu = _run(vpu)
+    vpu_gops = vchain * 6 * m / t_vpu / 1e9
     return {
         "metric": "probe_roofline",
         "value": float(tflops),
-        "unit": "TFLOP/s f32 matmul 4096^3",
+        "unit": "TFLOP/s f32 chained matmul 2048^3 x32",
         "vs_baseline": 0.0,
         "vpu_gops": float(vpu_gops),
         "t_mxu_s": float(t_mxu), "t_vpu_s": float(t_vpu),
