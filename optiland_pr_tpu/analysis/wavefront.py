@@ -72,10 +72,110 @@ def _correct_tilt(model, params, field, opd, xs, ys, epd):
     return opd + ux * X_m + uy * Y_m
 
 
+def _split_wavefront_eligible(model) -> bool:
+    """The f32 split-OPD wavefront path applies on accelerators (or when the
+    engine is pinned to the kernel) for untilted conic/plane angle-field
+    systems — exactly where f32 absolute OPD would otherwise be
+    ulp(path)-limited (meter-scale: waves of error)."""
+    import jax
+
+    from ..kernels import supports_split_opd
+    from ..trace.engine import _FORCE
+    if not (model.field_type == "angle" and model._object_infinite):
+        return False
+    if not supports_split_opd(model):
+        return False
+    if _FORCE in ("pallas", "pallas_interpret"):
+        return True
+    if _FORCE == "xla":
+        return False
+    return jax.devices()[0].platform != "cpu"
+
+
+def _opd_sphere_dev(ux, uy, uz, L, M, N, R, n_image):
+    """n * (t - R): back-projection distance onto the reference sphere,
+    DEVIATION from the common radius, cancellation-free for |u| << R
+    (u = ray point - sphere center, both near the image).
+
+    Same quadratic as _opd_image_to_xp (t = w + sqrt(R^2 + w^2 - |u|^2),
+    w = u . ray_dir), but the R-scale part never forms: t - R =
+    w + (w^2 - |u|^2)/(R + sqrt(R^2 + w^2 - |u|^2)). The omitted common
+    n*R cancels in every chief-relative difference."""
+    w = ux * L + uy * M + uz * N
+    h = w * w - (ux * ux + uy * uy + uz * uz)
+    rad = R * R + h
+    root = jnp.sqrt(jnp.maximum(rad, 0.0))
+    return n_image * (w + h / (R + root))
+
+
+def _wavefront_data_split(model, params, field, wavelength, Px, Py
+                          ) -> WavefrontData:
+    """Chief-ray-strategy wavefront via the split-OPD kernel: every
+    R-scale/path-scale magnitude is either kept out of the per-ray arrays or
+    exactly common to chief and pupil rays (so it cancels in the
+    difference). Meter-scale f32 wavefronts come out wave-accurate where the
+    plain path is ulp(path)-limited (round-4 item 5 follow-through)."""
+    from ..kernels import pallas_gen_trace_conic
+    from ..trace.engine import _FORCE
+    from ..trace.raygen import vig_factor
+
+    par = Paraxial(model, params)
+    _, n_arr, _ = system_arrays(model, params, wavelength)
+    n_image = n_arr[-1]
+    hx, hy = field
+
+    vx_, vy_ = vig_factor(model, params, hx, hy)
+    # chief ray rides as sample 0 of the SAME kernel launch: identical OPD
+    # base, identical frames -> exact cancellation
+    Pxc = jnp.concatenate([jnp.zeros((1,)), jnp.asarray(Px) * (1 - vx_)])
+    Pyc = jnp.concatenate([jnp.zeros((1,)), jnp.asarray(Py) * (1 - vy_)])
+    import jax
+    interpret = (_FORCE == "pallas_interpret") \
+        or jax.devices()[0].platform == "cpu"
+    rays, _base = pallas_gen_trace_conic(
+        model, params, jnp.asarray(Pxc, jnp.float32),
+        jnp.asarray(Pyc, jnp.float32), wavelength, Hx=hx, Hy=hy,
+        final_prop=True, interpret=interpret, opd_split=True,
+        keep_local_z=True)
+
+    # all z are LOCAL to the image vertex; the exit pupil sits at XPL()
+    xpl = par.XPL()
+    chief = jax.tree_util.tree_map(lambda a: a[0], rays)
+    xc, yc, zc = chief.x, chief.y, chief.z
+    R = jnp.sqrt(xc**2 + yc**2 + (zc - xpl) ** 2)
+
+    epd = par.EPD()
+    # w = u . ray_dir (the original quadratic's -d.u with d the REVERSED
+    # direction; the squared terms are sign-invariant)
+    dev_img = _opd_sphere_dev(rays.x - xc, rays.y - yc, rays.z - zc,
+                              rays.L, rays.M, rays.N, R, n_image)
+    opd = rays.opd - dev_img          # per-ray deviation (bases cancel)
+    opd = _correct_tilt(model, params, field, opd,
+                        jnp.concatenate([jnp.zeros((1,)), jnp.asarray(Px)]),
+                        jnp.concatenate([jnp.zeros((1,)), jnp.asarray(Py)]),
+                        epd)
+    opd_ref = opd[0]
+    opd_wv = (opd_ref - opd[1:]) / (wavelength * 1e-3)
+
+    # pupil coordinates for display/PSF sampling: coarse (R-scale) is fine
+    t = (dev_img[1:] + n_image * R) / n_image
+    pos = positions_from_params(params)
+    z_glob = rays.z[1:] + pos[-1]
+    return WavefrontData(pupil_x=rays.x[1:] - t * rays.L[1:],
+                         pupil_y=rays.y[1:] - t * rays.M[1:],
+                         pupil_z=z_glob - t * rays.N[1:],
+                         opd=opd_wv, intensity=rays.intensity[1:],
+                         radius=R,
+                         center=(xc, yc, zc + pos[-1]))
+
+
 def wavefront_data(model: OpticModel, params, field, wavelength, Px, Py,
                    strategy: str = "chief_ray") -> WavefrontData:
     """Compute wavefront data for one field/wavelength
     (reference strategy.py:176-230 chief-ray path)."""
+    if strategy == "chief_ray" and _split_wavefront_eligible(model):
+        return _wavefront_data_split(model, params, field, wavelength,
+                                     Px, Py)
     par = Paraxial(model, params)
     pos = positions_from_params(params)
     _, n_arr, _ = system_arrays(model, params, wavelength)

@@ -1591,9 +1591,9 @@ def _gen_epilogue(st, gen, *, kahan: bool, n_ev: int, pol_scale,
                   final_prop: bool, split: bool = False):
     """Final intensity (polarized chains), image propagation, NaN injection."""
     x, y, z, L, M, N, inten, opd, validf = st[:9]
-    if split:
-        # restore global z from the last surface's vertex position (gen[7])
-        z = z + gen[7]
+    # split mode: z stays LOCAL to the last surface's vertex — the wrapper
+    # adds the global offset back (or keeps local for precision-sensitive
+    # consumers like the split wavefront path)
     idx = 9 + (1 if (kahan or split) else 0)
     if n_ev:
         flat = st[idx:idx + 3 * n_ev]
@@ -1715,7 +1715,8 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
                            final_prop: bool = False,
                            interpret: bool = False, kahan: bool = False,
                            differentiable: bool = False,
-                           opd_split: bool = False):
+                           opd_split: bool = False,
+                           keep_local_z: bool = False):
     """Fused generation + trace for infinite-object angle-field systems: the
     kernel's only array inputs are the normalized pupil samples (8 bytes/ray
     HBM read), everything else lives in VMEM. ``final_prop`` fuses the
@@ -1772,7 +1773,7 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
         # surface 1's vertex gap is measured from the LAUNCH plane
         consts = consts.at[:, 0, 27].set(
             jnp.reshape(pos[1] - z0s, ()).astype(consts.dtype))
-    gen7 = jnp.reshape(pos[-1], ()) if opd_split else jnp.zeros(())
+    gen7 = jnp.zeros(())
     gen = jnp.stack([EPD / 2 * (1.0 - jnp.reshape(vxf, ())),
                      EPD / 2 * (1.0 - jnp.reshape(vyf, ())), xf, yf, z0s, EPL,
                      t_img, gen7]).astype(jnp.float32)
@@ -1813,6 +1814,8 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
     else:
         x, y, z, L, M, N, inten, opd, wl_col = [
             v.reshape(-1) for v in (x, y, z, L, M, N, inten, opd, wl_col)]
+    if opd_split and not keep_local_z:
+        z = z + pos[-1].astype(z.dtype)
     rays_out = Rays(x=x, y=y, z=z, L=L, M=M, N=N, intensity=inten,
                     wavelength=wl_col, opd=opd, p=None)
     if not opd_split:

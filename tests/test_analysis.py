@@ -235,3 +235,44 @@ def test_huygens_f32_phase_referencing():
     # and the two forms agree exactly in f64 (algebraic identity)
     ref64 = np.asarray(huygens_fresnel_ref(*a64, k, Rp))
     np.testing.assert_allclose(ref64, truth, rtol=1e-9, atol=1e-12 * scale)
+
+
+def test_split_wavefront_meter_scale():
+    """Round-4 follow-through on the split-OPD kernel: the chief-ray
+    wavefront routed through the split path (chief rides the same kernel
+    launch; reference-sphere back-projection in deviation form) is
+    wave-accurate at METER scale in f32 — the plain f32 path measures ~1.3
+    waves RMS error on Hubble, the split path < 0.06."""
+    import jax
+    from optiland_pr_tpu.analysis.wavefront import (_wavefront_data_split,
+                                                    wavefront_data)
+    from optiland_pr_tpu.samples import HubbleTelescope
+    from optiland_pr_tpu.trace.engine import engine_override
+
+    model, params64 = HubbleTelescope().build()
+    Px, Py = generate_distribution("hexapolar", 8)
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+        params64)
+    for field in ((0.0, 0.0), (0.0, 1.0)):
+        d64 = wavefront_data(model, params64, field, 0.55, Px, Py)
+        with engine_override("pallas_interpret"):
+            ds = _wavefront_data_split(model, params, field, 0.55,
+                                       jnp.asarray(Px, jnp.float32),
+                                       jnp.asarray(Py, jnp.float32))
+        o64 = np.asarray(d64.opd, np.float64)
+        osp = np.asarray(ds.opd, np.float64)
+        ok = np.isfinite(o64) & np.isfinite(osp)
+        err = np.abs(osp[ok] - o64[ok])
+        assert np.sqrt(np.mean(err**2)) < 0.06, (field, err.max())
+        assert err.max() < 0.2, (field, err.max())
+    # plain f32 really is the problem being solved (pin the contrast)
+    with engine_override("xla"):
+        d32 = wavefront_data(model, params, (0.0, 0.0), 0.55, Px, Py)
+    o64 = np.asarray(wavefront_data(model, params64, (0.0, 0.0), 0.55,
+                                    Px, Py).opd, np.float64)
+    o32 = np.asarray(d32.opd, np.float64)
+    ok = np.isfinite(o64) & np.isfinite(o32)
+    rms32 = np.sqrt(np.mean((o32[ok] - o64[ok]) ** 2))
+    assert rms32 > 0.5, rms32
