@@ -256,3 +256,10 @@ class OpticViewer3D:
         except Exception:
             pass
         return fig, ax
+
+    def export_html(self, path: str, **scene_kw) -> str:
+        """Standalone interactive 3-D HTML (orbit/zoom/pan; zero
+        dependencies) — the TPU-scope answer to the reference's VTK render
+        window (visualization/system/optic_viewer_3d.py:22)."""
+        from .html3d import export_html
+        return export_html(self.optic, path, **scene_kw)
