@@ -132,3 +132,15 @@ def test_polarized_double_gauss_finite_wavefront():
     ok = np.isfinite(opd)
     assert ok.any()
     assert np.ptp(opd[ok]) < 0.1   # mm; on-axis OPD spread is small
+
+
+def test_doe_hybrid_achromat_corrects_color():
+    """Hybrid refractive/diffractive achromat (round 4: phase surfaces on
+    the fused-kernel gradient path): descent must reduce both the
+    polychromatic spot merit and the real-ray axial color."""
+    mod = _load("doe_hybrid_achromat")
+    v0, v1, x = mod.main(n_steps=120)
+    assert v1 < 0.5 * v0, (v0, v1)
+    ax0 = mod.axial_color(mod.build())
+    ax1 = mod.axial_color(mod.build(float(x[0]), float(x[1])))
+    assert ax1 < 0.2 * ax0, (ax0, ax1)
