@@ -29,8 +29,10 @@ class FFTMTF:
                               grid_size=grid_size)
         psf = self.psf_obj.psf
 
-        otf = jnp.fft.fftshift(jnp.fft.fft2(jnp.fft.ifftshift(psf)))
-        mtf2d = jnp.abs(otf)
+        from ..utils.hostcomplex import backend_has_complex, fft2_centered
+        otf = fft2_centered(psf, pre_ifftshift=True)
+        mtf2d = jnp.abs(otf) if backend_has_complex() \
+            else jnp.asarray(np.abs(otf))
         mtf2d = mtf2d / mtf2d[self.psf_obj.grid_size // 2,
                               self.psf_obj.grid_size // 2]
         c = self.psf_obj.grid_size // 2

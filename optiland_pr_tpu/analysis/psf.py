@@ -33,13 +33,20 @@ def calculate_grid_size(num_rays: int):
 def fft_psf_from_pupil(pupils, grid_size: int):
     """Zero-pad complex pupils [W, n, n] -> PSF [grid, grid] normalized to
     100 at the diffraction limit (reference psf/fft.py:182-293)."""
+    import numpy as _np
+
+    from ..utils.hostcomplex import backend_has_complex, fft2_centered
     W, n, _ = pupils.shape
+    xp = jnp if backend_has_complex() else _np
+    pupils = pupils if backend_has_complex() else _np.asarray(pupils)
     pad_before = (grid_size - n) // 2
     pad_after = pad_before + (grid_size - n) % 2
-    padded = jnp.pad(pupils, ((0, 0), (pad_before, pad_after),
-                              (pad_before, pad_after)))
-    amp = jnp.fft.fftshift(jnp.fft.fft2(padded), axes=(-2, -1))
-    psf = jnp.sum(jnp.real(amp * jnp.conj(amp)), axis=0)
+    padded = xp.pad(pupils, ((0, 0), (pad_before, pad_after),
+                             (pad_before, pad_after)))
+    amp = fft2_centered(padded)
+    psf = jnp.sum(jnp.real(amp * jnp.conj(amp)), axis=0) \
+        if backend_has_complex() else \
+        jnp.asarray(_np.sum(_np.abs(amp) ** 2, axis=0))
 
     # normalization: ideal uniform pupil peak
     x = jnp.linspace(-1, 1, n)
@@ -219,11 +226,25 @@ class FFTPSF(PSFViewMixin):
                                    jnp.sum(jnp.where(valid, d.intensity, 0.0))
                                    / jnp.maximum(nvalid, 1), 1.0)
             amplitude = d.intensity / mean_valid
-            vals = amplitude * jnp.exp(-1j * 2 * jnp.pi * d.opd)
-            P = jnp.zeros(n * n, dtype=vals.dtype)
-            P = _scatter_disk(P, inside, vals)
-            pupils.append(P.reshape(n, n))
-        return jnp.stack(pupils)
+            from ..utils.hostcomplex import backend_has_complex
+            if backend_has_complex():
+                vals = amplitude * jnp.exp(-1j * 2 * jnp.pi * d.opd)
+                P = jnp.zeros(n * n, dtype=vals.dtype)
+                P = _scatter_disk(P, inside, vals)
+                pupils.append(P.reshape(n, n))
+            else:
+                # host fallback: the axon TPU backend has no complex dtypes
+                import numpy as _np
+                amp_h = _np.asarray(amplitude)
+                opd_h = _np.asarray(d.opd, _np.float64)
+                vals = amp_h * _np.exp(-1j * 2 * _np.pi * opd_h)
+                P = _np.zeros(n * n, complex)
+                P[_np.asarray(inside)] = vals
+                pupils.append(P.reshape(n, n))
+        import numpy as _np
+        from ..utils.hostcomplex import backend_has_complex
+        return jnp.stack(pupils) if backend_has_complex() \
+            else _np.stack(pupils)
 
     def strehl_ratio(self):
         c = self.grid_size // 2

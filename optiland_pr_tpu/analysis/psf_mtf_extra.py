@@ -167,9 +167,19 @@ class SampledMTF:
         self.xpd = float(par.XPD())
         # reference mtf/sampled.py:97 negates XPL before forming the shift
         self.xpl = -float(par.XPL())
-        cdtype = jnp.complex128 if Px.dtype == jnp.float64 else jnp.complex64
-        self.P1 = (jnp.sqrt(jnp.maximum(self.intensity, 0.0))
-                   * jnp.exp(1j * 2 * jnp.pi * self.opd_waves)).astype(cdtype)
+        from ..utils.hostcomplex import backend_has_complex
+        if backend_has_complex():
+            cdtype = jnp.complex128 if Px.dtype == jnp.float64 \
+                else jnp.complex64
+            self.P1 = (jnp.sqrt(jnp.maximum(self.intensity, 0.0))
+                       * jnp.exp(1j * 2 * jnp.pi * self.opd_waves)
+                       ).astype(cdtype)
+        else:
+            # host fallback (axon TPU: no complex dtypes); the overlap sums
+            # below are tiny vs the trace that produced the wavefront
+            inten_h = np.maximum(np.asarray(self.intensity, np.float64), 0.0)
+            self.P1 = np.sqrt(inten_h) * np.exp(
+                1j * 2 * np.pi * np.asarray(self.opd_waves, np.float64))
         self.otf_at_zero = jnp.sum(self.intensity)
 
     def calculate_mtf(self, frequencies):
@@ -190,10 +200,20 @@ class SampledMTF:
             rho = jnp.sqrt(xs**2 + ys**2)
             phi = jnp.arctan2(ys, xs)
             opd2 = self.fit.evaluate(rho, phi)
-            P2_conj = (jnp.sqrt(jnp.maximum(self.intensity, 0.0))
-                       * jnp.exp(-1j * 2 * jnp.pi * opd2))
-            otf = jnp.sum(jnp.where(inside, self.P1 * P2_conj, 0.0))
-            out.append(float(jnp.abs(otf / self.otf_at_zero)))
+            from ..utils.hostcomplex import backend_has_complex
+            if backend_has_complex():
+                P2_conj = (jnp.sqrt(jnp.maximum(self.intensity, 0.0))
+                           * jnp.exp(-1j * 2 * jnp.pi * opd2))
+                otf = jnp.sum(jnp.where(inside, self.P1 * P2_conj, 0.0))
+            else:
+                inten_h = np.maximum(np.asarray(self.intensity, np.float64),
+                                     0.0)
+                P2_conj = np.sqrt(inten_h) * np.exp(
+                    -1j * 2 * np.pi * np.asarray(opd2, np.float64))
+                otf = np.sum(np.where(np.asarray(inside),
+                                      self.P1 * P2_conj, 0.0))
+            out.append(float(np.abs(np.asarray(otf))
+                             / float(np.asarray(self.otf_at_zero))))
         return out
 
 
@@ -220,8 +240,11 @@ class HuygensMTF:
             p = HuygensPSF(optic, f, wavelength, num_rays=num_rays,
                            image_size=image_size, oversample=2.0)
             self.psf_instances.append(p)
-            otf = jnp.fft.fftshift(jnp.fft.fft2(p.psf))
-            mtf2d = jnp.abs(otf)
+            from ..utils.hostcomplex import (backend_has_complex,
+                                             fft2_centered)
+            otf = fft2_centered(p.psf)
+            mtf2d = jnp.abs(otf) if backend_has_complex() \
+                else jnp.asarray(np.abs(otf))
             dc = mtf2d[c, c]
             tan = jnp.clip(mtf2d[c:, c][:c] / dc, 0.0, 1.0)
             sag = jnp.clip(mtf2d[c, c:][:c] / dc, 0.0, 1.0)
