@@ -25,10 +25,14 @@ surfaces/standard_surface.py:186-287):
   with one final differentiable IFT step,
 - polarization: the full Jones chain runs in-kernel as a rank-structured
   real update on the propagating E-vectors (none/simple/fresnel coatings),
+- DOE interactions (round 4): linear-grating diffraction on conic/plane
+  substrates and constant/radial/linear-grating phase surfaces,
+- meter-scale OPD (round 4): ``opd_split`` keeps only sag-scale,
+  cancellation-free deviations in the per-ray accumulator,
 - gradients: the whole pipeline is differentiable via the custom_vjp
   backward kernel in pallas_grad.py (``differentiable=True``).
-Only NURBS/grid sags, gratings, phase surfaces, GRIN media, BSDF scatter
-and thin-lens interactions stay on the XLA path (see supports_model).
+Only NURBS/grid sags, grid phase profiles, GRIN media, BSDF scatter and
+thin-lens interactions stay on the XLA path (see supports_model).
 
 Surface constants are packed into a [S, 32] array (or [W, S, 32] for W
 wavelengths); the kernel receives it whole in VMEM and reads scalars per
