@@ -13,7 +13,7 @@ import functools
 
 import numpy as np
 
-__all__ = ["backend_has_complex", "fft2_centered", "host_complex"]
+__all__ = ["backend_has_complex", "fft2_centered"]
 
 
 @functools.lru_cache(maxsize=1)
@@ -26,15 +26,6 @@ def backend_has_complex() -> bool:
     and the host path is correct everywhere)."""
     import jax
     return jax.devices()[0].platform in ("cpu", "gpu", "cuda", "rocm")
-
-
-def host_complex(fn):
-    """Run ``fn(np_module)`` with numpy when the backend lacks complex
-    support, else with jax.numpy; returns whatever fn returns."""
-    if backend_has_complex():
-        import jax.numpy as jnp
-        return fn(jnp)
-    return fn(np)
 
 
 def fft2_centered(a, pre_ifftshift: bool = False):
