@@ -103,6 +103,32 @@ def main():
     g1 = float(g["surfaces"][1]["geom"]["radius"])
     results.append(check("d(rms)/d(R1) on-chip", g1, 0.087700, 5e-3))
 
+    # 5. DOE kernel-vs-XLA on the REAL Mosaic lowering (interpret mode on
+    # CPU covers semantics; this covers the hardware compiler). Round-4
+    # chip run: positions <= 2.6e-6 mm, OPD <= 1.5e-5 mm across all six
+    # grating/phase configurations.
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent
+                           / "tests"))
+    from test_pallas_doe import DOE_SYSTEMS, _f32 as _doe_f32, _pupil
+    from optiland_pr_tpu.trace.engine import engine_override, final_rays
+    Pd, Qd = _pupil(4096)
+    doe_ok = True
+    for name in sorted(DOE_SYSTEMS):
+        m2, p2 = DOE_SYSTEMS[name]().build()
+        p2 = _doe_f32(p2)
+        with engine_override("pallas"):
+            rp = final_rays(m2, p2, 0.0, 0.7, 0.55, Pd, Qd)
+        with engine_override("xla"):
+            rx = final_rays(m2, p2, 0.0, 0.7, 0.55, Pd, Qd)
+        err = max(float(np.nanmax(np.abs(np.asarray(getattr(rx, f))
+                                         - np.asarray(getattr(rp, f)))))
+                  for f in ("x", "y", "opd"))
+        ok = err < 1e-4
+        doe_ok &= ok
+        print(f"DOE on-chip parity {name}: max err {err:.2e} mm "
+              f"{'OK' if ok else 'FAIL'}")
+    results.append(doe_ok)
+
     print("ALL OK" if all(results) else "FAILURES PRESENT")
     return 0 if all(results) else 1
 
