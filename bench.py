@@ -192,9 +192,10 @@ def bench_system(name, build, wavelength, n_rays=N_RAYS, engine="auto"):
     Px, Py = _pupil(n_rays, dt)
     zeros = jnp.zeros_like(Px)
 
+    from optiland_pr_tpu.kernels import gen_eligible
     on_tpu = jax.devices()[0].platform != "cpu"
     use_pallas = engine != "xla" and supports_model(model) and on_tpu \
-        and model.field_type == "angle" and model._object_infinite
+        and gen_eligible(model)
     flags = model_flags(model, params) if use_pallas else None
     polarized = model.polarization != "ignore"
 

@@ -79,9 +79,9 @@ def _split_wavefront_eligible(model) -> bool:
     ulp(path)-limited (meter-scale: waves of error)."""
     import jax
 
-    from ..kernels import supports_split_opd
+    from ..kernels import gen_eligible, supports_split_opd
     from ..trace.engine import _FORCE
-    if not (model.field_type == "angle" and model._object_infinite):
+    if not gen_eligible(model):
         return False
     if not supports_split_opd(model):
         return False

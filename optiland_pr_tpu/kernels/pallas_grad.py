@@ -187,7 +187,7 @@ def _pallas_gen_bwd_2d(gen, consts, acoef, Px, Py, dx, dy, dz, dl, dm, dn,
                                memory_space=pltpu.VMEM)
     cot_spec = pl.BlockSpec((1, block_rows, lanes), lambda w, i: (w, i, 0),
                             memory_space=pltpu.VMEM)
-    gen_spec = pl.BlockSpec((1, 8), lambda w, i: (0, 0),
+    gen_spec = pl.BlockSpec((1, 16), lambda w, i: (0, 0),
                             memory_space=pltpu.VMEM)
     const_spec = pl.BlockSpec((1, S, _CONST_W), lambda w, i: (w, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -195,7 +195,7 @@ def _pallas_gen_bwd_2d(gen, consts, acoef, Px, Py, dx, dy, dz, dl, dm, dn,
                               memory_space=pltpu.VMEM)
 
     out_shape = [
-        jax.ShapeDtypeStruct((1, 8), gen.dtype),             # dgen
+        jax.ShapeDtypeStruct((1, 16), gen.dtype),            # dgen
         jax.ShapeDtypeStruct((W, S, _CONST_W), consts.dtype),  # dconsts
         jax.ShapeDtypeStruct((S, C), acoef.dtype),           # dacoef
         jax.ShapeDtypeStruct((W, rows, lanes), Px.dtype),    # dPx (per w)

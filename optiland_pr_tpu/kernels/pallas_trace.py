@@ -55,7 +55,8 @@ from ..system.model import OpticModel, positions_from_params
 
 __all__ = ["pack_surface_constants", "pack_asphere_coeffs",
            "pallas_trace_conic", "pallas_gen_trace_conic",
-           "supports_model", "supports_split_opd", "model_flags"]
+           "supports_model", "supports_split_opd", "gen_eligible",
+           "model_flags"]
 
 _EPS = 1e-14
 
@@ -120,6 +121,21 @@ def supports_model(model: OpticModel) -> bool:
     # rays are invalid anyway; complex LAUNCH states decompose into two real
     # projections at the final intensity)
     return True
+
+
+def gen_eligible(model: OpticModel) -> bool:
+    """Field/object configurations the fused generation stage covers: every
+    launch reduces to x0 = Px*A + xf, aim x1 = Px*B at the entrance pupil
+    plane (round 4: finite conjugates and object-height /
+    paraxial-image-height fields included; telecentric launches aim
+    differently and stay on XLA)."""
+    if model.obj_space_telecentric:
+        return False
+    if model.field_type == "angle":
+        return True
+    if model.field_type == "object_height":
+        return not model._object_infinite
+    return model.field_type == "paraxial_image_height"
 
 
 def supports_split_opd(model: OpticModel) -> bool:
@@ -1519,18 +1535,24 @@ def _gen_prologue(gen, Px, Py, *, kahan: bool, polar_state,
     with validity carried as f32 so every state leaf is a float (the manual
     per-surface reverse sweep in pallas_grad.py threads cotangents through
     the state, and bool leaves would need float0 plumbing)."""
-    half_epd_x = gen[0]
-    half_epd_y = gen[1]
+    # generalized launch: origin x0 = Px*A + xf (A = B for infinite-object
+    # angle/paraxial-image fields, A = 0 for finite-object constant origins),
+    # aim x1 = Px*B at the entrance pupil plane (reference
+    # rays/ray_generator.py:28-107 across field_types.py)
+    ax = gen[0]
+    ay = gen[1]
     x_field = gen[2]
     y_field = gen[3]
     z0s = gen[4]
     epl = gen[5]
+    bx = gen[8]
+    by = gen[9]
 
-    x = Px * half_epd_x + x_field
-    y = Py * half_epd_y + y_field
+    x = Px * ax + x_field
+    y = Py * ay + y_field
     z = jnp.full_like(Px, 1.0) * z0s
-    x1 = Px * half_epd_x
-    y1 = Py * half_epd_y
+    x1 = Px * bx
+    y1 = Py * by
     dxr = x1 - x
     dyr = y1 - y
     dzr = epl - z
@@ -1693,7 +1715,7 @@ def _pallas_gen_trace_2d(gen, consts, acoef, Px, Py, flags: tuple,
     ray_out_spec = pl.BlockSpec((1, block_rows, lanes),
                                 lambda w, i: (w, i, 0),
                                 memory_space=pltpu.VMEM)
-    gen_spec = pl.BlockSpec((1, 8), lambda w, i: (0, 0),
+    gen_spec = pl.BlockSpec((1, 16), lambda w, i: (0, 0),
                             memory_space=pltpu.VMEM)
     const_spec = pl.BlockSpec((1, S, _CONST_W), lambda w, i: (w, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -1745,32 +1767,43 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
     from ..core.rays import Rays
 
     assert supports_model(model)
-    assert model.field_type == "angle" and model._object_infinite
+    assert gen_eligible(model)
     if flags is None:
         flags = model_flags(model, params)
     wl = jnp.asarray(wavelength)
     wls = jnp.atleast_1d(wl)
     consts = pack_surface_constants(model, params, wls)  # [W, S-1, 32]
 
-    from ..trace.raygen import _field_norms, vig_factor
+    from ..trace.raygen import _ray_origins, vig_factor
 
     par = Paraxial(model, params)
     pos = positions_from_params(params)
     EPL = par.EPL()
     EPD = par.EPD()
-    offset = EPD - jnp.min(pos[1:-1])
-    fields = params["fields"]
-    max_field = jnp.max(_field_norms(fields))
-    fx = jnp.deg2rad(max_field * Hx)
-    fy = jnp.deg2rad(max_field * Hy)
-    xf = -jnp.tan(fx) * (offset + EPL)
-    yf = -jnp.tan(fy) * (offset + EPL)
-    z0s = pos[1] - offset
-    t_img = jnp.reshape(params["surfaces"][-1]["thickness"], ())
     # vignetting scales the pupil samples (raygen.generate_rays: Px *= 1-vx);
     # eligibility pins vig to 0 numerically, but folding it into the half-EPD
     # keeps d(merit)/d(vig) exact instead of silently zero
     vxf, vyf = vig_factor(model, params, Hx, Hy)
+    vx = 1.0 - jnp.reshape(vxf, ())
+    vy = 1.0 - jnp.reshape(vyf, ())
+    # constant launch terms from the shared per-field-type origin math
+    # (trace/raygen.py _ray_origins at the pupil-center sample — the origin
+    # is Px*A + xf, so Px=0 isolates xf; A is EPD/2*(1-v) for the
+    # infinite-object aimed-origin field types and 0 for constant origins)
+    x0c, y0c, z0c = _ray_origins(model, params, par, Hx, Hy,
+                                 jnp.zeros((1,)), jnp.zeros((1,)), vx, vy)
+    xf = jnp.reshape(x0c[0], ())
+    yf = jnp.reshape(y0c[0], ())
+    z0s = jnp.reshape(z0c[0], ())
+    if model._object_infinite:
+        ax = EPD / 2 * vx
+        ay = EPD / 2 * vy
+    else:
+        ax = jnp.zeros(())
+        ay = jnp.zeros(())
+    bx = EPD / 2 * vx
+    by = EPD / 2 * vy
+    t_img = jnp.reshape(params["surfaces"][-1]["thickness"], ())
     if opd_split:
         assert supports_split_opd(model), \
             "opd_split needs an untilted conic/plane refract/reflect stack"
@@ -1778,10 +1811,9 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
         consts = consts.at[:, 0, 27].set(
             jnp.reshape(pos[1] - z0s, ()).astype(consts.dtype))
     gen7 = jnp.zeros(())
-    gen = jnp.stack([EPD / 2 * (1.0 - jnp.reshape(vxf, ())),
-                     EPD / 2 * (1.0 - jnp.reshape(vyf, ())), xf, yf, z0s, EPL,
-                     t_img, gen7]).astype(jnp.float32)
-    gen = gen.reshape(1, 8)
+    gen = jnp.stack([ax, ay, xf, yf, z0s, EPL, t_img, gen7,
+                     bx, by] + [jnp.zeros(())] * 6).astype(jnp.float32)
+    gen = gen.reshape(1, 16)
 
     n = Px.shape[-1]
     lanes = 128

@@ -59,7 +59,8 @@ def pallas_eligible(model, Hx, Hy, apodization=None) -> bool:
         return False
     if np.ndim(Hx) != 0 or np.ndim(Hy) != 0:
         return False
-    if not (model.field_type == "angle" and model._object_infinite):
+    from ..kernels import gen_eligible
+    if not gen_eligible(model):
         return False
     return supports_model(model)
 

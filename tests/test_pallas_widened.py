@@ -447,3 +447,94 @@ def test_engine_crossover_policy():
         == "xla"
     # ineligible (apodized) calls never route to the kernel in auto
     assert resolve_engine(model, 0.0, 0.0, "gaussian", 4_000_000) == "xla"
+
+
+def _finite_conjugate(field_type):
+    lens = Optic(name=f"finite {field_type}")
+    lens.add_surface(index=0, radius=jnp.inf, thickness=200.0)
+    lens.add_surface(index=1, radius=60.0, thickness=6.0, material="N-BK7",
+                     is_stop=True)
+    lens.add_surface(index=2, radius=-60.0, thickness=110.0)
+    lens.add_surface(index=3)
+    lens.set_field_type(field_type)
+    lens.add_field(y=0)
+    lens.add_field(y=8.0 if field_type != "angle" else 3.0)
+    lens.set_aperture(aperture_type="EPD", value=14.0)
+    lens.add_wavelength(value=0.55, is_primary=True)
+    return lens
+
+
+@pytest.mark.parametrize("field_type,finite", [
+    ("angle", True), ("object_height", True),
+    ("paraxial_image_height", True), ("paraxial_image_height", False),
+])
+def test_generalized_launch_parity(field_type, finite):
+    """Round 4: the fused generation stage covers finite conjugates and
+    object-height / paraxial-image-height fields (x0 = Px*A + xf, aim
+    x1 = Px*B) — previously everything but infinite-object angle fields fell
+    to the XLA path. Kernel forward must match XLA at f32 for each launch
+    type, on- and off-axis."""
+    from optiland_pr_tpu.kernels import gen_eligible
+    from optiland_pr_tpu.trace.engine import engine_override, final_rays
+    if finite:
+        lens = _finite_conjugate(field_type)
+    else:
+        lens = _finite_conjugate(field_type)
+        lens._surfaces[0]["thickness"] = jnp.inf
+        lens._dirty()
+    model, params = lens.build()
+    assert gen_eligible(model)
+    params = _f32(params)
+    Px, Py = _pupil(300, seed=7)
+    for hy in (0.0, 1.0):
+        with engine_override("xla"):
+            rx = final_rays(model, params, 0.0, hy, 0.55, Px, Py)
+        with engine_override("pallas_interpret"):
+            rp = final_rays(model, params, 0.0, hy, 0.55, Px, Py)
+        for f in ("x", "y", "L", "N", "opd", "intensity"):
+            a = np.asarray(getattr(rx, f))
+            b = np.asarray(getattr(rp, f))
+            assert np.array_equal(np.isnan(a), np.isnan(b)), (field_type, f)
+            np.testing.assert_allclose(
+                b, a, rtol=3e-5, atol=3e-5,
+                err_msg=f"{field_type} finite={finite} hy={hy} {f}")
+
+
+def test_generalized_launch_grad_parity():
+    """Gradients through the finite-conjugate launch constants (object
+    distance shifts the launch plane) must match XLA AD."""
+    from optiland_pr_tpu.kernels import (model_flags, pallas_gen_trace_conic)
+    lens = _finite_conjugate("object_height")
+    model, params = lens.build()
+    params = _f32(params)
+    flags = model_flags(model, params)
+    Px, Py = _pupil(256, seed=8)
+
+    def masked_rms(x, y):
+        ok = jnp.isfinite(x) & jnp.isfinite(y)
+        xs = jnp.where(ok, x, 0.0)
+        ys = jnp.where(ok, y, 0.0)
+        n = jnp.maximum(jnp.sum(ok), 1)
+        return jnp.sqrt(jnp.sum(jnp.where(ok, xs**2 + ys**2, 0.0)) / n)
+
+    def merit_pallas(p):
+        r = pallas_gen_trace_conic(model, p, Px, Py, 0.55, Hx=0.0, Hy=1.0,
+                                   flags=flags, final_prop=True,
+                                   interpret=True, differentiable=True)
+        return masked_rms(r.x, r.y)
+
+    def merit_xla(p):
+        r = real_trace.trace(model, p, 0.0, 1.0, 0.55, Px, Py)
+        return masked_rms(r.x, r.y)
+
+    import jax
+    vp, gp = jax.value_and_grad(merit_pallas)(params)
+    vx, gx = jax.value_and_grad(merit_xla)(params)
+    np.testing.assert_allclose(float(vp), float(vx), rtol=5e-4)
+    for (kp, lp), (_, lx) in zip(jax.tree_util.tree_leaves_with_path(gp),
+                                 jax.tree_util.tree_leaves_with_path(gx)):
+        lp, lx = np.asarray(lp), np.asarray(lx)
+        scale = max(np.max(np.abs(lx)), 1e-4)
+        np.testing.assert_allclose(
+            lp, lx, rtol=5e-3, atol=5e-3 * scale + 1e-7,
+            err_msg=f"grad mismatch at {jax.tree_util.keystr(kp)}")
