@@ -159,6 +159,25 @@ def _metasurface_phase():
     return lens
 
 
+def _finite_conjugate_doublet():
+    """Finite-conjugate object-height relay (round 4: finite conjugates and
+    object-height fields run on the fused fast path)."""
+    import jax.numpy as jnp
+    from optiland_pr_tpu.system.optic import Optic
+    lens = Optic(name="finite-conjugate relay")
+    lens.add_surface(index=0, radius=jnp.inf, thickness=200.0)
+    lens.add_surface(index=1, radius=60.0, thickness=6.0, material="N-BK7",
+                     is_stop=True)
+    lens.add_surface(index=2, radius=-60.0, thickness=110.0)
+    lens.add_surface(index=3)
+    lens.set_field_type("object_height")
+    lens.add_field(y=0)
+    lens.add_field(y=8.0)
+    lens.set_aperture(aperture_type="EPD", value=14.0)
+    lens.add_wavelength(value=0.55, is_primary=True)
+    return lens
+
+
 def _fresnel_concentrator():
     return _load_example("fresnel_concentrator").build_concentrator("zoned")
 
@@ -358,6 +377,8 @@ def suite():
         ("doe_grating", _doe_grating, 0.55, N_RAYS, "auto"),
         ("doe_grating_3wl", _doe_grating, FRAUNHOFER, 2_000_000, "auto"),
         ("metasurface_phase", _metasurface_phase, 0.55, N_RAYS, "auto"),
+        ("finite_conjugate", _finite_conjugate_doublet, 0.55, N_RAYS,
+         "auto"),
         ("double_gauss_polarized", _polarized_double_gauss, 0.5876,
          1_000_000, "auto"),   # in-kernel Jones chain (round 3)
         ("cooke_triplet_xla", CookeTriplet, 0.55, 1_000_000, "xla"),
