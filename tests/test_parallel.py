@@ -215,6 +215,71 @@ def test_init_distributed_single_process_is_graceful():
         assert isinstance(err, str) and err
 
 
+def test_two_process_distributed_merit_grad(tmp_path):
+    """VERDICT r4 item 6 / SURVEY §5.8: the multi-HOST (DCN) path. Two
+    subprocesses form a jax.distributed cluster (2 virtual CPU devices each,
+    4 global); ``shard_map_merit_grad`` runs over the cross-process mesh with
+    its psum collectives riding the inter-process (Gloo) transport, and the
+    loss/gradient must equal the single-process computation bit-for-bit at
+    rtol 1e-9."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    from optiland_pr_tpu.trace.raygen import generate_rays
+
+    repo = Path(__file__).resolve().parent.parent
+    worker = Path(__file__).resolve().parent / "_dist_worker.py"
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    out_json = tmp_path / "dist_result.json"
+
+    env = dict(os.environ)
+    env.update(JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2",
+               PYTHONPATH=str(repo))
+    procs = [subprocess.Popen(
+        [sys.executable, str(worker), str(i), str(port), str(out_json)],
+        env=env, cwd=str(repo), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT) for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=300)
+        outs.append(out.decode())
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"distributed worker failed:\n{out}"
+    result = json.loads(out_json.read_text())
+    assert result["n_global_devices"] == 4
+
+    # single-process reference: identical bundle, identical merit
+    model, params = CookeTriplet().build()
+    n = 1024
+    Px, Py = _pupil(n)
+    zeros = jnp.zeros_like(Px)
+
+    def merit(params):
+        rays = generate_rays(model, params, zeros, zeros, Px, Py, 0.55)
+        rays, _ = real_trace.trace_system(model, params, rays)
+        rays = real_trace._final_image_propagation(model, params, rays)
+        cx = jnp.mean(rays.x)
+        cy = jnp.mean(rays.y)
+        return jnp.mean((rays.x - cx) ** 2 + (rays.y - cy) ** 2)
+
+    v_ref, g_ref = jax.value_and_grad(merit)(params)
+    gradsum_ref = sum(float(jnp.sum(jnp.abs(l)))
+                      for l in jax.tree_util.tree_leaves(g_ref))
+    np.testing.assert_allclose(result["loss"], float(v_ref), rtol=1e-9)
+    np.testing.assert_allclose(result["gradsum"], gradsum_ref, rtol=1e-8)
+    np.testing.assert_allclose(
+        result["g_radius"],
+        float(np.asarray(g_ref["surfaces"][1]["geom"]["radius"])), rtol=1e-8)
+
+
 def test_shard_map_pallas_merit_grad(mesh):
     """VERDICT r2 item 10: each shard launches the fused differentiable
     Pallas kernel (interpret mode on the CPU mesh); value and parameter
