@@ -29,6 +29,14 @@ import numpy as np
 N_RAYS = 4_000_000
 REFERENCE_RAY_SURFACES_PER_S = 150e6  # reference README.md:120 (GPU)
 
+# Probe reference point: the VPU roofline probe measured in the round-4
+# record's healthiest tunnel window (BENCH_SUITE.json r4, vpu_gops=119).
+# The axon tunnel drifts up to 2.5x within a day, so every suite entry also
+# carries value_normalized = value * (PROBE_REF_VPU_GOPS / session vpu_gops):
+# the throughput the same kernel would show at the reference tunnel health.
+# Claims in BENCHMARKS.md are stated from the normalized column.
+PROBE_REF_VPU_GOPS = 119.0
+
 
 def _pupil(n, dt):
     import jax.numpy as jnp
@@ -394,9 +402,19 @@ def suite():
     print(json.dumps(probe), flush=True)
     results.append(probe)
     flush_suite()
+    # tunnel-drift normalizer (VERDICT r4 item 7): rays/s entries are
+    # VPU-bound, so the VPU probe is the relevant scale
+    norm = PROBE_REF_VPU_GOPS / probe["vpu_gops"] if probe["vpu_gops"] else 1.0
+
+    def normalize(res):
+        res["probe_vpu_gops"] = probe["vpu_gops"]
+        res["value_normalized"] = res["value"] * norm
+        if "rays_per_s" in res:
+            res["rays_per_s_normalized"] = res["rays_per_s"] * norm
+        return res
 
     for name, build, wl, n, engine in entries:
-        res = bench_system(name, build, wl, n_rays=n, engine=engine)
+        res = normalize(bench_system(name, build, wl, n_rays=n, engine=engine))
         print(json.dumps(res), flush=True)
         results.append(res)
         flush_suite()   # partial results survive a driver timeout
@@ -411,7 +429,7 @@ def suite():
     ]
     from optiland_pr_tpu.samples import CookeTriplet as _CT
     for gname, gengine, gn in grad_entries:
-        res = bench_grad(gname, _CT, 0.55, gn, gengine)
+        res = normalize(bench_grad(gname, _CT, 0.55, gn, gengine))
         print(json.dumps(res), flush=True)
         results.append(res)
         flush_suite()
@@ -419,12 +437,16 @@ def suite():
 
 
 def _headline_line(res):
-    return json.dumps({
+    line = {
         "metric": res["metric"],
         "value": res["value"],
         "unit": res["unit"],
         "vs_baseline": res["vs_baseline"],
-    })
+    }
+    if "value_normalized" in res:
+        line["value_normalized"] = res["value_normalized"]
+        line["probe_vpu_gops"] = res["probe_vpu_gops"]
+    return json.dumps(line)
 
 
 def main():
