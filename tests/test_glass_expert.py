@@ -69,6 +69,63 @@ def test_glass_expert_achromatizes():
     assert vd < 50.0
 
 
+def test_vmapped_screening_matches_serial():
+    """VERDICT r4 item 9: screen_candidates ranks >=64 catalog glasses with
+    ONE vmapped merit launch, and its merits equal the serial swap-and-
+    measure values (the tabulated proxy reproduces each glass's n exactly
+    at the merit wavelengths)."""
+    lens = _doublet()
+    problem = OptimizationProblem(lens)
+    problem.add_operand("LchC_sum", target=0.0, weight=100.0)
+    problem.add_operand("f2", target=100.0, weight=1.0)
+    problem.add_variable("radius", surface_number=1)
+    problem.add_variable("radius", surface_number=3)
+
+    sel = [g for g in default_glass_selection()
+           if np.isfinite(get_nd_vd(g)[1])][:72]
+    assert len(sel) >= 64
+    var = MaterialVariable(lens, 2, glass_selection=sel)
+    expert = GlassExpert(problem)
+    ranked, merits = expert.screen_candidates(var, sel)
+    assert len(ranked) == len(sel)
+    assert np.all(np.diff(merits) >= 0)          # best-first
+    assert var.value == "N-BK7"                  # builder state restored
+
+    # serial truth on a spread of candidates
+    for name in (ranked[0], ranked[len(ranked) // 2], ranked[-1]):
+        if not np.isfinite(merits[ranked.index(name)]):
+            continue
+        var.update(name)
+        problem.rebuild()
+        serial = float(problem.sum_squared())
+        np.testing.assert_allclose(merits[ranked.index(name)], serial,
+                                   rtol=1e-6)
+    var.update("N-BK7")
+    problem.rebuild()
+
+
+def test_glass_expert_screened_run_matches_unscreened():
+    """The screened greedy run (vmapped pre-ranking + top-k re-opt) selects
+    the same glass as the fully serial loop on the achromat."""
+    picks = {}
+    for screen in (False, True):
+        lens = _doublet()
+        problem = OptimizationProblem(lens)
+        problem.add_operand("LchC_sum", target=0.0, weight=100.0)
+        problem.add_operand("f2", target=100.0, weight=1.0)
+        problem.add_variable("radius", surface_number=1)
+        problem.add_variable("radius", surface_number=3)
+        candidates = ["N-BK7", "N-SF11", "N-F2", "N-SK16", "SF5", "N-LAK9",
+                      "N-BAF10", "SF10"]
+        var = MaterialVariable(lens, 2, glass_selection=candidates)
+        expert = GlassExpert(problem)
+        res = expert.run([var], num_neighbours=2, pool_size=8, maxiter=30,
+                         screen=screen, screen_top_k=3)
+        picks[screen] = (var.value, float(res.fun))
+    assert picks[True][0] == picks[False][0]
+    np.testing.assert_allclose(picks[True][1], picks[False][1], rtol=1e-3)
+
+
 def test_material_variable_roundtrip():
     lens = _doublet()
     var = MaterialVariable(lens, 2, glass_selection=["N-BK7", "SF5"])
