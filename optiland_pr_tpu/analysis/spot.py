@@ -62,25 +62,27 @@ def spot_diagram(model: OpticModel, params, fields=None, wavelengths=None,
         wavelengths = [float(w) for w in params["wavelengths"]]
     Px, Py = generate_distribution(distribution, num_rays)
 
-    # one engine-dispatched launch per field covering ALL wavelengths
-    # (trace/engine.py: the fused Pallas kernel's polychromatic grid axis
-    # when eligible, the vmapped XLA trace otherwise)
+    # ONE engine-dispatched launch for the whole fields x wavelengths grid
+    # (VERDICT r4 item 2): the fused Pallas kernel's field AND wavelength
+    # grid axes when eligible (a 3-field x 3-wl spot is a single kernel
+    # launch), the vmapped XLA trace otherwise. Engine output order is
+    # (wavelength, field, pupil).
     from ..trace.engine import final_rays
     wls = jnp.asarray(wavelengths)
+    Hx = jnp.asarray([f[0] for f in fields], Px.dtype)
+    Hy = jnp.asarray([f[1] for f in fields], Px.dtype)
     n = Px.shape[0]
     W = len(wavelengths)
-    xs, ys, Is = [], [], []
-    for hx, hy in fields:
-        rays = final_rays(model, params, float(hx), float(hy), wls, Px, Py)
-        xs.append(rays.x.reshape(W, n))
-        ys.append(rays.y.reshape(W, n))
-        Is.append(rays.intensity.reshape(W, n))
+    F = len(fields)
+    rays = final_rays(model, params, Hx, Hy, wls, Px, Py)
+    x = jnp.moveaxis(rays.x.reshape(W, F, n), 0, 1)
+    y = jnp.moveaxis(rays.y.reshape(W, F, n), 0, 1)
+    inten = jnp.moveaxis(rays.intensity.reshape(W, F, n), 0, 1)
     # primary wavelength anchors the centroid (reference
     # spot_diagram.py:100-113)
     prim = float(params["wavelengths"][model.primary_wavelength_idx])
     ref_idx = wavelengths.index(prim) if prim in wavelengths else 0
-    return SpotData(x=jnp.stack(xs, axis=0), y=jnp.stack(ys, axis=0),
-                    intensity=jnp.stack(Is, axis=0),
+    return SpotData(x=x, y=y, intensity=inten,
                     fields=tuple(fields), wavelengths=tuple(wavelengths),
                     ref_wl_idx=ref_idx)
 

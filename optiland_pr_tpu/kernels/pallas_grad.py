@@ -68,7 +68,7 @@ def _bwd_rows(num_surfaces: int, block_rows: int) -> int:
 
 
 def _manual_vjp(gen, c, a, Px, Py, cots, *, flags, final_prop, kahan,
-                polar_state, split=False):
+                polar_state, split=False, telecentric=False, apod=None):
     """Per-surface reverse sweep with boundary-state checkpointing.
 
     A single jax.vjp over the whole pipeline keeps EVERY surface's AD
@@ -85,7 +85,8 @@ def _manual_vjp(gen, c, a, Px, Py, cots, *, flags, final_prop, kahan,
     n_ev, pol_scale = _polar_layout(polar_state)
     st0, vjp_pro = jax.vjp(
         lambda g, px, py: _gen_prologue(g, px, py, kahan=kahan,
-                                        polar_state=polar_state, split=split),
+                                        polar_state=polar_state, split=split,
+                                        telecentric=telecentric, apod=apod),
         gen, Px, Py)
     steps = []
     sigma = 1.0
@@ -121,7 +122,8 @@ def _gen_bwd_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
                     dio_ref, doo_ref,
                     dgen_ref, dconsts_ref, dacoef_ref, dpx_ref, dpy_ref,
                     *, flags: tuple, final_prop: bool, kahan: bool,
-                    polar_state=None, split: bool = False):
+                    polar_state=None, split: bool = False,
+                    telecentric: bool = False, apod=None):
     from jax.experimental import pallas as pl
 
     gen = gen_ref[0, :]
@@ -129,82 +131,100 @@ def _gen_bwd_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
     a = acoef_ref[:]
     Px = px_ref[:]
     Py = py_ref[:]
-    cots = (dxo_ref[0], dyo_ref[0], dzo_ref[0], dlo_ref[0], dmo_ref[0],
-            dno_ref[0], dio_ref[0], doo_ref[0])
+    cots = (dxo_ref[0, 0], dyo_ref[0, 0], dzo_ref[0, 0], dlo_ref[0, 0],
+            dmo_ref[0, 0], dno_ref[0, 0], dio_ref[0, 0], doo_ref[0, 0])
     dgen, dc, da, dPx, dPy = _manual_vjp(
         gen, c, a, Px, Py, cots, flags=flags, final_prop=final_prop,
-        kahan=kahan, polar_state=polar_state, split=split)
+        kahan=kahan, polar_state=polar_state, split=split,
+        telecentric=telecentric, apod=apod)
 
     w = pl.program_id(0)
-    i = pl.program_id(1)
-    first = jnp.logical_and(w == 0, i == 0)
+    f = pl.program_id(1)
+    i = pl.program_id(2)
+    first = jnp.logical_and(w == 0, jnp.logical_and(f == 0, i == 0))
 
-    # dgen / dacoef blocks keep index (0,0) for the whole grid: resident in
-    # VMEM, init on the first visit, accumulate after (sequential TPU grid).
+    # dacoef's block keeps index (0,0) for the WHOLE grid: resident in VMEM,
+    # init on the first visit, accumulate after (sequential TPU grid).
     @pl.when(first)
     def _():
-        dgen_ref[0, :] = dgen
         dacoef_ref[...] = da
 
     @pl.when(jnp.logical_not(first))
     def _():
-        dgen_ref[0, :] = dgen_ref[0, :] + dgen
         dacoef_ref[...] = dacoef_ref[...] + da
 
-    # dconsts is per-wavelength: its block revisits consecutively over i.
+    # dgen is per-(w, f): its block revisits consecutively over i; the
+    # caller sums the W axis.
     @pl.when(i == 0)
     def _():
-        dconsts_ref[0] = dc
+        dgen_ref[0, 0, :] = dgen
 
     @pl.when(i != 0)
     def _():
+        dgen_ref[0, 0, :] = dgen_ref[0, 0, :] + dgen
+
+    # dconsts is per-wavelength: its block revisits consecutively over
+    # (f, i) with w outermost.
+    @pl.when(jnp.logical_and(f == 0, i == 0))
+    def _():
+        dconsts_ref[0] = dc
+
+    @pl.when(jnp.logical_or(f != 0, i != 0))
+    def _():
         dconsts_ref[0] = dconsts_ref[0] + dc
 
-    # pupil-sample cotangents are per-(w, tile); summed over w by the caller
-    dpx_ref[0] = dPx
-    dpy_ref[0] = dPy
+    # pupil-sample cotangents are per-(w, f, tile); summed over (w, f) by
+    # the caller
+    dpx_ref[0, 0] = dPx
+    dpy_ref[0, 0] = dPy
 
 
 @functools.partial(jax.jit, static_argnames=("flags", "block_rows",
                                              "final_prop", "interpret",
                                              "kahan", "polar_state",
-                                             "split"))
+                                             "split", "telecentric", "apod"))
 def _pallas_gen_bwd_2d(gen, consts, acoef, Px, Py, dx, dy, dz, dl, dm, dn,
                        di, do, flags: tuple, block_rows: int,
                        final_prop: bool = False, interpret: bool = False,
                        kahan: bool = False, polar_state=None,
-                       split: bool = False):
+                       split: bool = False, telecentric: bool = False,
+                       apod=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     W = consts.shape[0]
+    F = gen.shape[0]
     S = len(flags)
     C = acoef.shape[1]
     rows, lanes = Px.shape
-    grid = (W, rows // block_rows)
+    grid = (W, F, rows // block_rows)
 
-    ray_in_spec = pl.BlockSpec((block_rows, lanes), lambda w, i: (i, 0),
+    ray_in_spec = pl.BlockSpec((block_rows, lanes), lambda w, f, i: (i, 0),
                                memory_space=pltpu.VMEM)
-    cot_spec = pl.BlockSpec((1, block_rows, lanes), lambda w, i: (w, i, 0),
+    cot_spec = pl.BlockSpec((1, 1, block_rows, lanes),
+                            lambda w, f, i: (w, f, i, 0),
                             memory_space=pltpu.VMEM)
-    gen_spec = pl.BlockSpec((1, 16), lambda w, i: (0, 0),
+    gen_spec = pl.BlockSpec((1, 16), lambda w, f, i: (f, 0),
                             memory_space=pltpu.VMEM)
-    const_spec = pl.BlockSpec((1, S, _CONST_W), lambda w, i: (w, 0, 0),
+    dgen_spec = pl.BlockSpec((1, 1, 16), lambda w, f, i: (w, f, 0),
+                             memory_space=pltpu.VMEM)
+    const_spec = pl.BlockSpec((1, S, _CONST_W), lambda w, f, i: (w, 0, 0),
                               memory_space=pltpu.VMEM)
-    acoef_spec = pl.BlockSpec((S, C), lambda w, i: (0, 0),
+    acoef_spec = pl.BlockSpec((S, C), lambda w, f, i: (0, 0),
                               memory_space=pltpu.VMEM)
 
     out_shape = [
-        jax.ShapeDtypeStruct((1, 16), gen.dtype),            # dgen
+        jax.ShapeDtypeStruct((W, F, 16), gen.dtype),         # dgen (per w)
         jax.ShapeDtypeStruct((W, S, _CONST_W), consts.dtype),  # dconsts
         jax.ShapeDtypeStruct((S, C), acoef.dtype),           # dacoef
-        jax.ShapeDtypeStruct((W, rows, lanes), Px.dtype),    # dPx (per w)
-        jax.ShapeDtypeStruct((W, rows, lanes), Px.dtype),    # dPy (per w)
+        jax.ShapeDtypeStruct((W, F, rows, lanes), Px.dtype),  # dPx per (w,f)
+        jax.ShapeDtypeStruct((W, F, rows, lanes), Px.dtype),  # dPy per (w,f)
     ]
-    out_specs = [gen_spec, const_spec, acoef_spec, cot_spec, cot_spec]
+    out_specs = [dgen_spec, const_spec, acoef_spec, cot_spec, cot_spec]
     kernel = functools.partial(_gen_bwd_kernel, flags=flags,
                                final_prop=final_prop, kahan=kahan,
-                               polar_state=polar_state, split=split)
+                               polar_state=polar_state, split=split,
+                               telecentric=telecentric, apod=apod)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -219,11 +239,12 @@ def _pallas_gen_bwd_2d(gen, consts, acoef, Px, Py, dx, dy, dz, dl, dm, dn,
 @functools.lru_cache(maxsize=128)
 def diff_gen_trace(flags: tuple, block_rows: int, final_prop: bool,
                    interpret: bool, kahan: bool, polar_state=None,
-                   split: bool = False):
+                   split: bool = False, telecentric: bool = False,
+                   apod=None):
     """custom_vjp-wrapped fused gen+trace core for a static surface-stack
     configuration. Signature of the returned function:
     ``f(gen, consts, acoef, Px2d, Py2d) -> (x, y, z, L, M, N, inten, opd)``
-    with every output [W, rows, lanes]; gradients flow to all five inputs
+    with every output [W, F, rows, lanes]; gradients flow to all five inputs
     (so d(merit)/d(params) rides the packing functions' XLA AD outside)."""
 
     @jax.custom_vjp
@@ -231,7 +252,8 @@ def diff_gen_trace(flags: tuple, block_rows: int, final_prop: bool,
         return tuple(_pallas_gen_trace_2d(
             gen, consts, acoef, Px, Py, flags=flags, block_rows=block_rows,
             final_prop=final_prop, interpret=interpret, kahan=kahan,
-            polar_state=polar_state, split=split))
+            polar_state=polar_state, split=split, telecentric=telecentric,
+            apod=apod))
 
     def fwd(gen, consts, acoef, Px, Py):
         return f(gen, consts, acoef, Px, Py), (gen, consts, acoef, Px, Py)
@@ -242,12 +264,13 @@ def diff_gen_trace(flags: tuple, block_rows: int, final_prop: bool,
         # blanket filtering here, matching the XLA path's AD semantics.
         gen, consts, acoef, Px, Py = res
         bwd_rows = _bwd_rows(len(flags), block_rows)
-        dgen, dconsts, dacoef, dPxw, dPyw = _pallas_gen_bwd_2d(
+        dgenw, dconsts, dacoef, dPxw, dPyw = _pallas_gen_bwd_2d(
             gen, consts, acoef, Px, Py, *cots, flags=flags,
             block_rows=bwd_rows, final_prop=final_prop, interpret=interpret,
-            kahan=kahan, polar_state=polar_state, split=split)
-        return (dgen, dconsts, dacoef,
-                jnp.sum(dPxw, axis=0), jnp.sum(dPyw, axis=0))
+            kahan=kahan, polar_state=polar_state, split=split,
+            telecentric=telecentric, apod=apod)
+        return (jnp.sum(dgenw, axis=0), dconsts, dacoef,
+                jnp.sum(dPxw, axis=(0, 1)), jnp.sum(dPyw, axis=(0, 1)))
 
     f.defvjp(fwd, bwd)
     return f

@@ -125,11 +125,12 @@ def supports_model(model: OpticModel) -> bool:
 
 def gen_eligible(model: OpticModel) -> bool:
     """Field/object configurations the fused generation stage covers: every
-    launch reduces to x0 = Px*A + xf, aim x1 = Px*B at the entrance pupil
-    plane (round 4: finite conjugates and object-height /
-    paraxial-image-height fields included; telecentric launches aim
-    differently and stay on XLA)."""
-    if model.obj_space_telecentric:
+    launch reduces to origin x0 = Px*A + xf with aim x1 = Px*B at the
+    entrance pupil plane (round 4: finite conjugates and object-height /
+    paraxial-image-height fields) or the telecentric aim x1 = Px*B + x0 at
+    the constant axial distance sqrt(1-sin_u^2)/sin_u (round 5 — the last
+    launch mode off the fast path, trace/raygen.py generate_rays)."""
+    if model.obj_space_telecentric and model._object_infinite:
         return False
     if model.field_type == "angle":
         return True
@@ -1528,13 +1529,24 @@ def _polar_layout(polar_state):
 
 
 def _gen_prologue(gen, Px, Py, *, kahan: bool, polar_state,
-                  split: bool = False):
-    """Launch-state construction (infinite-object angle-field aiming,
-    reference rays/ray_generator.py:70-90) -> flat state tuple:
+                  split: bool = False, telecentric: bool = False,
+                  apod=None):
+    """Launch-state construction (generalized aiming,
+    reference rays/ray_generator.py:28-107) -> flat state tuple:
     (x, y, z, L, M, N, inten, opd, validf[, opd_c][, ev0x, ev0y, ev0z, ...])
     with validity carried as f32 so every state leaf is a float (the manual
     per-surface reverse sweep in pallas_grad.py threads cotangents through
-    the state, and bool leaves would need float0 plumbing)."""
+    the state, and bool leaves would need float0 plumbing).
+
+    ``telecentric``: object-space telecentric aiming (trace/raygen.py
+    generate_rays telecentric branch): x1 = Px*bx + x0 so the chief
+    direction is field-independent; gen[5] carries the constant axial aim
+    distance sqrt(1 - sin_u^2)/sin_u instead of EPL.
+    ``apod``: static closed-form pupil apodization (system/apodization.py);
+    evaluated IN-KERNEL on the pupil samples — scales the launch intensity,
+    and for polarized launches scales the E vectors by sqrt(w) so the
+    chain-overwritten final intensity still carries the launch weight
+    (reference polarized_rays.update_intensity uses launch.intensity)."""
     # generalized launch: origin x0 = Px*A + xf (A = B for infinite-object
     # angle/paraxial-image fields, A = 0 for finite-object constant origins),
     # aim x1 = Px*B at the entrance pupil plane (reference
@@ -1551,16 +1563,26 @@ def _gen_prologue(gen, Px, Py, *, kahan: bool, polar_state,
     x = Px * ax + x_field
     y = Py * ay + y_field
     z = jnp.full_like(Px, 1.0) * z0s
-    x1 = Px * bx
-    y1 = Py * by
-    dxr = x1 - x
-    dyr = y1 - y
-    dzr = epl - z
+    if telecentric:
+        # x1 = Px*bx + x0  ->  dxr = Px*bx; dzr = gen[5] = sqrt(1-s^2)/s
+        dxr = Px * bx
+        dyr = Py * by
+        dzr = jnp.full_like(Px, 1.0) * epl
+    else:
+        x1 = Px * bx
+        y1 = Py * by
+        dxr = x1 - x
+        dyr = y1 - y
+        dzr = epl - z
     inv_mag = jax.lax.rsqrt(dxr * dxr + dyr * dyr + dzr * dzr)
     L = dxr * inv_mag
     M = dyr * inv_mag
     N = dzr * inv_mag
-    inten = jnp.ones_like(Px)
+    if apod is not None:
+        w_apod = apod(Px, Py)
+        inten = w_apod * jnp.ones_like(Px)
+    else:
+        inten = jnp.ones_like(Px)
     opd = jnp.zeros_like(Px)
     if split:
         # split-OPD frame: the state's z is LOCAL to the launch plane
@@ -1574,6 +1596,14 @@ def _gen_prologue(gen, Px, Py, *, kahan: bool, polar_state,
         # rank-structured Jones update (cheaper than composing the 3x3
         # chain; the final intensity is just sum |E|^2)
         evecs, _ = _polar_init(polar_state, L, M, N)
+        if apod is not None:
+            # double-where sqrt guard: apodization weights hit exactly 0
+            # outside their support and sqrt'(0) = inf would NaN the Px
+            # cotangent through the discarded branch
+            pos = w_apod > 0
+            s_apod = jnp.where(pos,
+                               jnp.sqrt(jnp.where(pos, w_apod, 1.0)), 0.0)
+            evecs = tuple(tuple(c * s_apod for c in v) for v in evecs)
         for v in evecs:
             st.extend(v)
     return tuple(st)
@@ -1638,12 +1668,13 @@ def _gen_epilogue(st, gen, *, kahan: bool, n_ev: int, pol_scale,
 
 def _gen_pipeline(gen, c_all, a_all, Px, Py, *, flags: tuple,
                   final_prop: bool = False, kahan: bool = False,
-                  polar_state=None, split: bool = False):
+                  polar_state=None, split: bool = False,
+                  telecentric: bool = False, apod=None):
     """Pure generation + trace pipeline over one monochromatic ray tile.
 
-    ``gen``: [8] vector [half_epd_vx, half_epd_vy, x_field, y_field, z0, epl,
-    t_img, 0] (infinite-object angle-field aiming, reference
-    rays/ray_generator.py:70-90). ``c_all``: [S, 32] per-surface constants;
+    ``gen``: [16] vector [origin_px_coeff x/y, x_field, y_field, z0, epl,
+    t_img, 0, aim_px_coeff x/y, 0...] (generalized aiming, reference
+    rays/ray_generator.py:28-107). ``c_all``: [S, 32] per-surface constants;
     ``a_all``: [S, C] geometry coefficients; Px/Py: pupil-sample tile.
 
     Composed of _gen_prologue -> _state_step per surface -> _gen_epilogue,
@@ -1654,7 +1685,7 @@ def _gen_pipeline(gen, c_all, a_all, Px, Py, *, flags: tuple,
     """
     n_ev, pol_scale = _polar_layout(polar_state)
     st = _gen_prologue(gen, Px, Py, kahan=kahan, polar_state=polar_state,
-                       split=split)
+                       split=split, telecentric=telecentric, apod=apod)
     sigma = 1.0
     for k, flag in enumerate(flags):
         st = _state_step(flag, kahan, n_ev, split, sigma)(
@@ -1669,62 +1700,71 @@ def _gen_pipeline(gen, c_all, a_all, Px, Py, *, flags: tuple,
 def _gen_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
                 xo, yo, zo, lo, mo, no, io, oo, *, flags: tuple,
                 final_prop: bool = False, kahan: bool = False,
-                polar_state=None, split: bool = False):
+                polar_state=None, split: bool = False,
+                telecentric: bool = False, apod=None):
     """Fused ray-generation + trace: inputs are just the pupil samples.
     With ``final_prop``, the post-image-surface propagation by the image
     thickness (raytrace/real_ray_tracer.py:85-92) is fused in as well, so the
     whole reference trace() pipeline is one kernel.
 
-    consts_ref block is [1, S, 32]: the leading grid axis is the wavelength —
-    each block is monochromatic with its own per-surface constants.
+    consts_ref block is [1, S, 32] (grid axis 0 = wavelength: each block is
+    monochromatic with its own per-surface constants); gen_ref block is
+    [1, 16] (grid axis 1 = field: each block launches with its own
+    per-field aiming constants — VERDICT r4 item 2, same shape of solution
+    as the wavelength axis, zero per-ray gathers).
     """
     x, y, z, L, M, N, inten, opd = _gen_pipeline(
         gen_ref[0, :], consts_ref[0], acoef_ref[:], px_ref[:], py_ref[:],
         flags=flags, final_prop=final_prop, kahan=kahan,
-        polar_state=polar_state, split=split)
-    xo[0, :, :] = x
-    yo[0, :, :] = y
-    zo[0, :, :] = z
-    lo[0, :, :] = L
-    mo[0, :, :] = M
-    no[0, :, :] = N
-    io[0, :, :] = inten
-    oo[0, :, :] = opd
+        polar_state=polar_state, split=split, telecentric=telecentric,
+        apod=apod)
+    xo[0, 0] = x
+    yo[0, 0] = y
+    zo[0, 0] = z
+    lo[0, 0] = L
+    mo[0, 0] = M
+    no[0, 0] = N
+    io[0, 0] = inten
+    oo[0, 0] = opd
 
 
 @functools.partial(jax.jit, static_argnames=("flags", "block_rows",
                                              "final_prop", "interpret",
                                              "kahan", "polar_state",
-                                             "split"))
+                                             "split", "telecentric", "apod"))
 def _pallas_gen_trace_2d(gen, consts, acoef, Px, Py, flags: tuple,
                          block_rows: int, final_prop: bool = False,
                          interpret: bool = False, kahan: bool = False,
-                         polar_state=None, split: bool = False):
-    """Grid is (W, ray blocks): axis 0 selects the per-wavelength constant
-    set; every block reuses the same pupil samples (the reference traces the
-    same pupil distribution per wavelength)."""
+                         polar_state=None, split: bool = False,
+                         telecentric: bool = False, apod=None):
+    """Grid is (W, F, ray blocks): axis 0 selects the per-wavelength
+    constant set, axis 1 the per-field launch constants; every block reuses
+    the same pupil samples (the reference traces the same pupil distribution
+    per field and wavelength, raytrace/real_ray_tracer.py:74-77)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     W = consts.shape[0]
+    F = gen.shape[0]
     S = len(flags)
     rows, lanes = Px.shape
-    grid = (W, rows // block_rows)
-    ray_in_spec = pl.BlockSpec((block_rows, lanes), lambda w, i: (i, 0),
+    grid = (W, F, rows // block_rows)
+    ray_in_spec = pl.BlockSpec((block_rows, lanes), lambda w, f, i: (i, 0),
                                memory_space=pltpu.VMEM)
-    ray_out_spec = pl.BlockSpec((1, block_rows, lanes),
-                                lambda w, i: (w, i, 0),
+    ray_out_spec = pl.BlockSpec((1, 1, block_rows, lanes),
+                                lambda w, f, i: (w, f, i, 0),
                                 memory_space=pltpu.VMEM)
-    gen_spec = pl.BlockSpec((1, 16), lambda w, i: (0, 0),
+    gen_spec = pl.BlockSpec((1, 16), lambda w, f, i: (f, 0),
                             memory_space=pltpu.VMEM)
-    const_spec = pl.BlockSpec((1, S, _CONST_W), lambda w, i: (w, 0, 0),
+    const_spec = pl.BlockSpec((1, S, _CONST_W), lambda w, f, i: (w, 0, 0),
                               memory_space=pltpu.VMEM)
-    acoef_spec = pl.BlockSpec(acoef.shape, lambda w, i: (0, 0),
+    acoef_spec = pl.BlockSpec(acoef.shape, lambda w, f, i: (0, 0),
                               memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((W, rows, lanes), Px.dtype)] * 8
+    out_shape = [jax.ShapeDtypeStruct((W, F, rows, lanes), Px.dtype)] * 8
     kernel = functools.partial(_gen_kernel, flags=flags,
                                final_prop=final_prop, kahan=kahan,
-                               polar_state=polar_state, split=split)
+                               polar_state=polar_state, split=split,
+                               telecentric=telecentric, apod=apod)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -1742,16 +1782,24 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
                            interpret: bool = False, kahan: bool = False,
                            differentiable: bool = False,
                            opd_split: bool = False,
-                           keep_local_z: bool = False):
-    """Fused generation + trace for infinite-object angle-field systems: the
-    kernel's only array inputs are the normalized pupil samples (8 bytes/ray
-    HBM read), everything else lives in VMEM. ``final_prop`` fuses the
-    image-thickness propagation too (the full reference trace() pipeline).
+                           keep_local_z: bool = False,
+                           apodization=None):
+    """Fused generation + trace: the kernel's only array inputs are the
+    normalized pupil samples (8 bytes/ray HBM read), everything else lives
+    in VMEM. ``final_prop`` fuses the image-thickness propagation too (the
+    full reference trace() pipeline).
 
     ``wavelength``: a scalar traces one bundle of ``len(Px)`` rays; a 1-D
     array of W wavelengths traces the same pupil samples at every wavelength
-    in one kernel launch (grid axis) and returns W*len(Px) rays ordered
-    wavelength-major.
+    in one kernel launch (grid axis), wavelength-major output.
+    ``Hx``/``Hy``: scalars, or 1-D arrays of F field points — the grid gains
+    a field axis exactly like the wavelength one (per-field launch
+    constants, VERDICT r4 item 2); the W*F*len(Px) output rays are ordered
+    (wavelength, field, pupil), matching the XLA path's vmap-over-wl of the
+    field-major trace().
+    ``apodization``: closed-form pupil apodization evaluated in-kernel on
+    the launch intensity (system/apodization.py; any kind whose
+    get_intensity is branch-free jnp math).
 
     ``kahan``: compensated OPD accumulation (SURVEY §7 f32 hard part).
     ``differentiable``: route through the custom_vjp core (pallas_grad.py) so
@@ -1780,40 +1828,64 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
     pos = positions_from_params(params)
     EPL = par.EPL()
     EPD = par.EPD()
-    # vignetting scales the pupil samples (raygen.generate_rays: Px *= 1-vx);
-    # eligibility pins vig to 0 numerically, but folding it into the half-EPD
-    # keeps d(merit)/d(vig) exact instead of silently zero
-    vxf, vyf = vig_factor(model, params, Hx, Hy)
-    vx = 1.0 - jnp.reshape(vxf, ())
-    vy = 1.0 - jnp.reshape(vyf, ())
-    # constant launch terms from the shared per-field-type origin math
-    # (trace/raygen.py _ray_origins at the pupil-center sample — the origin
-    # is Px*A + xf, so Px=0 isolates xf; A is EPD/2*(1-v) for the
-    # infinite-object aimed-origin field types and 0 for constant origins)
-    x0c, y0c, z0c = _ray_origins(model, params, par, Hx, Hy,
-                                 jnp.zeros((1,)), jnp.zeros((1,)), vx, vy)
-    xf = jnp.reshape(x0c[0], ())
-    yf = jnp.reshape(y0c[0], ())
-    z0s = jnp.reshape(z0c[0], ())
-    if model._object_infinite:
-        ax = EPD / 2 * vx
-        ay = EPD / 2 * vy
-    else:
-        ax = jnp.zeros(())
-        ay = jnp.zeros(())
-    bx = EPD / 2 * vx
-    by = EPD / 2 * vy
-    t_img = jnp.reshape(params["surfaces"][-1]["thickness"], ())
+    telecentric = bool(model.obj_space_telecentric)
+
+    field_vec = jnp.ndim(Hx) == 1 or jnp.ndim(Hy) == 1
+    Hxa = jnp.atleast_1d(jnp.asarray(Hx, jnp.float32))
+    Hya = jnp.atleast_1d(jnp.asarray(Hy, jnp.float32))
+    Hxa, Hya = jnp.broadcast_arrays(Hxa, Hya)
+    F = Hxa.shape[0]
+
+    def gen_row(hx, hy):
+        # vignetting scales the pupil samples (raygen: Px *= 1-vx);
+        # eligibility pins vig to 0 numerically, but folding it into the
+        # half-EPD keeps d(merit)/d(vig) exact instead of silently zero
+        vxf, vyf = vig_factor(model, params, hx, hy)
+        vx = 1.0 - jnp.reshape(vxf, ())
+        vy = 1.0 - jnp.reshape(vyf, ())
+        # constant launch terms from the shared per-field-type origin math
+        # (trace/raygen.py _ray_origins at the pupil-center sample — the
+        # origin is Px*A + xf, so Px=0 isolates xf; A is EPD/2*(1-v) for the
+        # infinite-object aimed-origin field types and 0 for constant
+        # origins)
+        x0c, y0c, z0c = _ray_origins(model, params, par, hx, hy,
+                                     jnp.zeros((1,)), jnp.zeros((1,)),
+                                     vx, vy)
+        xf = jnp.reshape(x0c[0], ())
+        yf = jnp.reshape(y0c[0], ())
+        z0s = jnp.reshape(z0c[0], ())
+        if model._object_infinite:
+            ax = EPD / 2 * vx
+            ay = EPD / 2 * vy
+        else:
+            ax = jnp.zeros(())
+            ay = jnp.zeros(())
+        if telecentric:
+            # telecentric aim (trace/raygen.py generate_rays): x1 = Px*vx
+            # + x0; the axial aim distance sqrt(1-sin_u^2)/sin_u rides the
+            # EPL slot
+            sin_u = jnp.reshape(params["aperture_value"], ())
+            aim_z = jnp.sqrt(1.0 - sin_u * sin_u) / sin_u
+            bx = vx
+            by = vy
+            epl_slot = aim_z
+        else:
+            bx = EPD / 2 * vx
+            by = EPD / 2 * vy
+            epl_slot = EPL
+        t_img = jnp.reshape(params["surfaces"][-1]["thickness"], ())
+        return jnp.stack([ax, ay, xf, yf, z0s, epl_slot, t_img,
+                          jnp.zeros(()), bx, by] + [jnp.zeros(())] * 6)
+
+    gen = jnp.stack([gen_row(Hxa[f], Hya[f])
+                     for f in range(F)]).astype(jnp.float32)
+
     if opd_split:
         assert supports_split_opd(model), \
             "opd_split needs an untilted conic/plane refract/reflect stack"
         # surface 1's vertex gap is measured from the LAUNCH plane
         consts = consts.at[:, 0, 27].set(
-            jnp.reshape(pos[1] - z0s, ()).astype(consts.dtype))
-    gen7 = jnp.zeros(())
-    gen = jnp.stack([ax, ay, xf, yf, z0s, EPL, t_img, gen7,
-                     bx, by] + [jnp.zeros(())] * 6).astype(jnp.float32)
-    gen = gen.reshape(1, 16)
+            (pos[1] - gen[0, 4]).astype(consts.dtype))
 
     n = Px.shape[-1]
     lanes = 128
@@ -1832,21 +1904,27 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
     if differentiable:
         from .pallas_grad import diff_gen_trace
         core = diff_gen_trace(flags, block_rows, final_prop, interpret, kahan,
-                              polar_state, opd_split)
+                              polar_state, opd_split, telecentric,
+                              apodization)
         out = core(gen, consts, acoef, shape(Px), shape(Py))
     else:
         out = _pallas_gen_trace_2d(gen, consts, acoef, shape(Px), shape(Py),
                                    flags=flags, block_rows=block_rows,
                                    final_prop=final_prop, interpret=interpret,
                                    kahan=kahan, polar_state=polar_state,
-                                   split=opd_split)
+                                   split=opd_split, telecentric=telecentric,
+                                   apod=apodization)
     W = wls.shape[0]
     x, y, z, L, M, N, inten, opd = [
-        o.reshape(W, -1)[:, :n] for o in out]
-    wl_col = jnp.broadcast_to(wls.astype(jnp.float32)[:, None], (W, n))
-    if wl.ndim == 0:
+        o.reshape(W, F, -1)[:, :, :n] for o in out]
+    wl_col = jnp.broadcast_to(wls.astype(jnp.float32)[:, None, None],
+                              (W, F, n))
+    if wl.ndim == 0 and not field_vec:
         x, y, z, L, M, N, inten, opd, wl_col = [
-            v[0] for v in (x, y, z, L, M, N, inten, opd, wl_col)]
+            v[0, 0] for v in (x, y, z, L, M, N, inten, opd, wl_col)]
+    elif wl.ndim == 0:
+        x, y, z, L, M, N, inten, opd, wl_col = [
+            v[0].reshape(-1) for v in (x, y, z, L, M, N, inten, opd, wl_col)]
     else:
         x, y, z, L, M, N, inten, opd, wl_col = [
             v.reshape(-1) for v in (x, y, z, L, M, N, inten, opd, wl_col)]

@@ -50,14 +50,29 @@ def engine_override(mode: str | None):
         _FORCE = prev
 
 
+def _apod_supported(apodization) -> bool:
+    """Closed-form apodizations evaluate in-kernel (branch-free VPU math);
+    anything else — custom callables whose tracing behavior is unknown —
+    stays on XLA."""
+    if apodization is None:
+        return True
+    from ..system import apodization as apo
+    return isinstance(apodization, (
+        apo.UniformApodization, apo.GaussianApodization,
+        apo.CosineSquaredApodization, apo.HannApodization,
+        apo.TukeyApodization, apo.SuperGaussianApodization,
+        apo.PolynomialApodization))
+
+
 def pallas_eligible(model, Hx, Hy, apodization=None) -> bool:
-    """Static eligibility of a (system, call) for the fused gen+trace kernel:
-    supported surface stack, scalar angle-field point from infinity, no
-    apodization (the kernel launches unit-intensity rays)."""
+    """Static eligibility of a (system, call) for the fused gen+trace
+    kernel: supported surface stack + launch mode; field coordinates may be
+    scalars or 1-D vectors (the kernel's field grid axis, one launch for a
+    whole F x W analysis grid); closed-form apodizations ride along."""
     from ..kernels import supports_model
-    if apodization is not None:
+    if not _apod_supported(apodization):
         return False
-    if np.ndim(Hx) != 0 or np.ndim(Hy) != 0:
+    if np.ndim(Hx) > 1 or np.ndim(Hy) > 1:
         return False
     from ..kernels import gen_eligible
     if not gen_eligible(model):
@@ -139,7 +154,8 @@ def final_rays(model, params, Hx, Hy, wavelength, Px, Py, *,
         return pallas_gen_trace_conic(
             model, params, jnp.asarray(Px), jnp.asarray(Py), wl,
             Hx=Hx, Hy=Hy, flags=flags, final_prop=final_prop,
-            interpret=interpret, differentiable=True)
+            interpret=interpret, differentiable=True,
+            apodization=apodization)
 
     if jnp.ndim(wl) == 1:
         # wavelength-major stacking to match the Pallas polychromatic layout

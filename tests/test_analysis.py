@@ -276,3 +276,33 @@ def test_split_wavefront_meter_scale():
     ok = np.isfinite(o64) & np.isfinite(o32)
     rms32 = np.sqrt(np.mean((o32[ok] - o64[ok]) ** 2))
     assert rms32 > 0.5, rms32
+
+
+def test_spot_diagram_single_launch_engines_agree():
+    """VERDICT r4 item 2 'Done' gate: a 3-field x 3-wavelength SpotDiagram
+    is ONE engine launch (field + wavelength kernel grid axes); the
+    interpreted-kernel spot grid equals the XLA engine's at f32."""
+    import jax
+    from optiland_pr_tpu.analysis.spot import spot_diagram
+    from optiland_pr_tpu.samples import CookeTriplet
+    from optiland_pr_tpu.trace.engine import engine_override
+
+    model, params64 = CookeTriplet().build()
+    params = jax.tree_util.tree_map(
+        lambda a: jnp.asarray(a, jnp.float32)
+        if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
+        params64)
+    fields = [(0.0, 0.0), (0.0, 0.7), (0.0, 1.0)]
+    wls = [0.4861, 0.5876, 0.6563]
+    with engine_override("pallas_interpret"):
+        sk = spot_diagram(model, params, fields=fields, wavelengths=wls,
+                          num_rays=32)
+    with engine_override("xla"):
+        sx = spot_diagram(model, params, fields=fields, wavelengths=wls,
+                          num_rays=32)
+    assert sk.x.shape == sx.x.shape == (3, 3, sk.x.shape[-1])
+    np.testing.assert_allclose(np.asarray(sk.x), np.asarray(sx.x),
+                               rtol=1e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sk.rms_spot_radius()),
+                               np.asarray(sx.rms_spot_radius()),
+                               rtol=5e-4, atol=1e-6)
