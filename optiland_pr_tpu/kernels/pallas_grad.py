@@ -126,7 +126,13 @@ def _gen_bwd_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
                     telecentric: bool = False, apod=None):
     from jax.experimental import pallas as pl
 
-    gen = gen_ref[0, :]
+    w = pl.program_id(0)
+    f = pl.program_id(1)
+    i = pl.program_id(2)
+
+    # whole-[F, 16] gen table in VMEM; one-hot row select (Mosaic-friendly)
+    ohF = jax.lax.broadcasted_iota(jnp.int32, (gen_ref.shape[0], 1), 0) == f
+    gen = jnp.sum(jnp.where(ohF, gen_ref[...], 0.0), axis=0)
     c = consts_ref[0]
     a = acoef_ref[:]
     Px = px_ref[:]
@@ -138,9 +144,6 @@ def _gen_bwd_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
         kahan=kahan, polar_state=polar_state, split=split,
         telecentric=telecentric, apod=apod)
 
-    w = pl.program_id(0)
-    f = pl.program_id(1)
-    i = pl.program_id(2)
     first = jnp.logical_and(w == 0, jnp.logical_and(f == 0, i == 0))
 
     # dacoef's block keeps index (0,0) for the WHOLE grid: resident in VMEM,
@@ -153,15 +156,18 @@ def _gen_bwd_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
     def _():
         dacoef_ref[...] = dacoef_ref[...] + da
 
-    # dgen is per-(w, f): its block revisits consecutively over i; the
+    # dgen's [1, F, 16] block is per-w (whole-F — Mosaic block rules), its
+    # row placed by one-hot; revisits are consecutive over (f, i); the
     # caller sums the W axis.
-    @pl.when(i == 0)
-    def _():
-        dgen_ref[0, 0, :] = dgen
+    dgen_c = jnp.where(ohF[None, :, :], dgen[None, None, :], 0.0)
 
-    @pl.when(i != 0)
+    @pl.when(jnp.logical_and(f == 0, i == 0))
     def _():
-        dgen_ref[0, 0, :] = dgen_ref[0, 0, :] + dgen
+        dgen_ref[...] = dgen_c
+
+    @pl.when(jnp.logical_or(f != 0, i != 0))
+    def _():
+        dgen_ref[...] = dgen_ref[...] + dgen_c
 
     # dconsts is per-wavelength: its block revisits consecutively over
     # (f, i) with w outermost.
@@ -204,9 +210,9 @@ def _pallas_gen_bwd_2d(gen, consts, acoef, Px, Py, dx, dy, dz, dl, dm, dn,
     cot_spec = pl.BlockSpec((1, 1, block_rows, lanes),
                             lambda w, f, i: (w, f, i, 0),
                             memory_space=pltpu.VMEM)
-    gen_spec = pl.BlockSpec((1, 16), lambda w, f, i: (f, 0),
+    gen_spec = pl.BlockSpec((F, 16), lambda w, f, i: (0, 0),
                             memory_space=pltpu.VMEM)
-    dgen_spec = pl.BlockSpec((1, 1, 16), lambda w, f, i: (w, f, 0),
+    dgen_spec = pl.BlockSpec((1, F, 16), lambda w, f, i: (w, 0, 0),
                              memory_space=pltpu.VMEM)
     const_spec = pl.BlockSpec((1, S, _CONST_W), lambda w, f, i: (w, 0, 0),
                               memory_space=pltpu.VMEM)

@@ -55,7 +55,7 @@ from ..system.model import OpticModel, positions_from_params
 
 __all__ = ["pack_surface_constants", "pack_asphere_coeffs",
            "pallas_trace_conic", "pallas_gen_trace_conic",
-           "supports_model", "supports_split_opd", "gen_eligible",
+           "supports_model", "supports_split_opd", "supports_split_xy", "gen_eligible",
            "model_flags"]
 
 _EPS = 1e-14
@@ -149,6 +149,21 @@ def supports_split_opd(model: OpticModel) -> bool:
         if spec.interaction != "refract_reflect":
             return False
         if spec.has_tilt_decenter:
+            return False
+    return True
+
+
+def supports_split_xy(model: OpticModel) -> bool:
+    """True when the deviation-transport (coord_split) mode applies: the
+    split-OPD surface scope, unpolarized, simple-or-no coatings (the xy
+    step's Fresnel chain is not implemented — polarization carries its own
+    basis state)."""
+    if not supports_split_opd(model):
+        return False
+    if model.polarization != "ignore":
+        return False
+    for spec in model.surfaces[1:]:
+        if spec.coating is not None and spec.coating.kind != "simple":
             return False
     return True
 
@@ -909,6 +924,282 @@ def _freeform_sag_grad(gkind: str, nu: int, nv: int, c, acoef, xx, yy,
     raise ValueError(f"unknown kernel geometry kind {gkind!r}")
 
 
+def _delta_rsqrt(d_arg, inv_c, inv_f):
+    """rsqrt(a) - rsqrt(ac) given d_arg = a - ac, cancellation-free:
+    = -(a - ac) * inv * inv_c / (sqrt(a) + sqrt(ac))."""
+    s_f = 1.0 / inv_f
+    s_c = 1.0 / inv_c
+    return -d_arg * inv_f * inv_c / (s_f + s_c)
+
+
+# ---- two-float (double-f32) helpers for the deviation-transport mode ------
+# The focusing cancellation x_img = dx + t*dL subtracts APERTURE-scale
+# quantities down to spot scale; Hubble's spot is ~1 ulp of its 1200-mm
+# semi-aperture, so the aperture-scale position chain must carry more than
+# one f32 significand. Dekker splitting (no FMA dependence — TPU VPU f32
+# multiply-add rounding is not IEEE-FMA) gives exact products; Knuth
+# TwoSum gives exact sums. AD note: every error term is algebraically zero
+# (err = (a - (s - bv)) + (b - bv) with s = a + b), so its derivative is
+# exactly zero and gradients flow through the hi chain only.
+
+def _two_sum(a, b):
+    s = a + b
+    bv = s - a
+    err = (a - (s - bv)) + (b - bv)
+    return s, err
+
+
+def _split12(a):
+    c = a * 4097.0        # 2^12 + 1 splits the 24-bit f32 significand
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    p = a * b
+    ah, al = _split12(a)
+    bh, bl = _split12(b)
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def _tf_add(x, y):
+    """Two-float + two-float (Dekker add22, ~7 flops); tf = (hi, lo)."""
+    s, e = _two_sum(x[0], y[0])
+    e = e + (x[1] + y[1])
+    hi = s + e
+    lo = e - (hi - s)
+    return hi, lo
+
+
+def _tf_sum(*xs):
+    acc = xs[0]
+    for x in xs[1:]:
+        acc = _tf_add(acc, x)
+    return acc
+
+
+def _tf_neg(x):
+    return (-x[0], -x[1])
+
+
+def _tf_prod(a, b):
+    """single x single -> tf, exact."""
+    return _two_prod(a, b)
+
+
+def _tf_scale(x, s):
+    """tf x single -> tf (exact product on the hi part)."""
+    p, pe = _two_prod(x[0], s)
+    return _tf_add((p, pe), (x[1] * s, jnp.zeros_like(pe)))
+
+
+def _tf_mul(x, y):
+    """tf x tf -> tf (mul22; drops the l*l term)."""
+    p, pe = _two_prod(x[0], y[0])
+    pe = pe + (x[0] * y[1] + x[1] * y[0])
+    hi = p + pe
+    lo = pe - (hi - p)
+    return hi, lo
+
+
+def _tf_div1(x, den):
+    """tf / single -> tf (one Newton refinement of the quotient)."""
+    q1 = x[0] / den
+    p, pe = _two_prod(q1, den)
+    r = ((x[0] - p) - pe) + x[1]
+    q2 = r / den
+    return _two_sum(q1, q2)
+
+
+def _tf_val(x):
+    return x[0] + x[1]
+
+
+def _tf_zero_like(a):
+    z = jnp.zeros_like(a)
+    return (z, z)
+
+
+def _tf_div(x, y):
+    """tf / tf with one quotient refinement (~1e-14 relative)."""
+    q0 = x[0] / y[0]
+    r = _tf_add(x, _tf_neg(_tf_scale(y, q0)))
+    q1 = (r[0] + r[1]) / y[0]
+    return _two_sum(q0, q1)
+
+
+def _tf_sqrt(x):
+    """tf sqrt via one Newton correction on the f32 seed (~1e-14 rel).
+    Negative-clamped on the hi part (caller guards validity)."""
+    xs = jnp.maximum(x[0], _EPS)
+    s0 = jnp.sqrt(xs)
+    p, pe = _two_prod(s0, s0)
+    r = _tf_add(x, (-p, -pe))
+    corr = (r[0] + r[1]) / (2.0 * s0)
+    return _two_sum(s0, corr)
+
+
+def _tf_rsqrt(x):
+    """tf rsqrt via one Newton correction on the f32 seed."""
+    r0 = jax.lax.rsqrt(jnp.maximum(x[0], _EPS))
+    p, pe = _two_prod(r0, r0)
+    xp = _tf_mul(x, (p, pe))
+    e = (1.0 - xp[0]) - xp[1]
+    corr = 0.5 * r0 * e
+    return _two_sum(r0, corr)
+
+
+def _df32_chain(c, x, y, z, L, M, N, opd, *, is_plane: bool, is_refl: bool):
+    """One conic/plane refract/reflect surface in double-f32 (tf) arithmetic.
+    Every kinematic input/output is a tf pair; ~47-bit effective significand
+    makes both the gap-scale intersection cancellation AND the
+    aperture-scale focusing cancellation (Hubble's spot is ~1 ulp of its
+    1200-mm semi-aperture in single f32) numerically benign. Same math as
+    _surface_step's conic branch (pre-advance + citardauq pairing kept for
+    the chief-free validity test). Returns (x, y, z, L, M, N, opd, ok)."""
+    one = jnp.ones_like(x[0])
+    radius_inv, conic, n1, n2 = c[0], c[1], c[3], c[4]
+    # shift into this surface's local frame (split convention: z arrives
+    # local to the previous vertex)
+    z = _tf_add(z, (-c[27] * one, jnp.zeros_like(one)))
+
+    if is_plane:
+        t = _tf_div(_tf_neg(z), N)
+        ok = jnp.ones_like(x[0], bool)
+    else:
+        ci = radius_inv
+        t0 = _tf_div(_tf_neg(z), N)
+        x0 = _tf_add(x, _tf_mul(t0, L))
+        y0 = _tf_add(y, _tf_mul(t0, M))
+        n2_sq = _tf_mul(N, N)
+        a = _tf_scale(_tf_add(_tf_scale(n2_sq, conic),
+                              (one, jnp.zeros_like(one))), ci)
+        bh = _tf_add(_tf_scale(_tf_add(_tf_mul(L, x0), _tf_mul(M, y0)), ci),
+                     _tf_neg(N))
+        cc = _tf_scale(_tf_add(_tf_mul(x0, x0), _tf_mul(y0, y0)), ci)
+        disc = _tf_add(_tf_mul(bh, bh), _tf_neg(_tf_mul(a, cc)))
+        ok = disc[0] >= 0
+        sq = _tf_sqrt(disc)
+        sgn = jnp.where(bh[0] >= 0, 1.0, -1.0)
+        q = _tf_neg(_tf_add(bh, _tf_scale(sq, sgn)))
+        q_safe = (jnp.where(jnp.abs(q[0]) > _EPS, q[0],
+                            jnp.where(q[0] >= 0, _EPS, -_EPS)), q[1])
+        a_safe = (jnp.where(jnp.abs(a[0]) > _EPS, a[0],
+                            jnp.where(a[0] >= 0, _EPS, -_EPS)), a[1])
+        t_near = _tf_div(cc, q_safe)
+        t_far = _tf_div(q_safe, a_safe)
+        near = jnp.abs(t_near[0]) <= jnp.abs(t_far[0])
+        tq = (jnp.where(near, t_near[0], t_far[0]),
+              jnp.where(near, t_near[1], t_far[1]))
+        okf = ok.astype(x[0].dtype)
+        t = _tf_add(t0, (tq[0] * okf, tq[1] * okf))
+
+    x = _tf_add(x, _tf_mul(t, L))
+    y = _tf_add(y, _tf_mul(t, M))
+    z = _tf_add(z, _tf_mul(t, N))
+    opd = _tf_add(opd, _tf_scale(t, n1))
+
+    # ---- normal + interaction (all tf) ------------------------------------
+    if is_plane:
+        if is_refl:
+            L2, M2, N2 = L, M, _tf_neg(N)
+        else:
+            u = n1 / n2
+            nsq = _tf_mul(N, N)
+            disc_r = _tf_add((one, jnp.zeros_like(one)),
+                             _tf_scale(_tf_add((one, jnp.zeros_like(one)),
+                                               _tf_neg(nsq)), -u * u))
+            ok = ok & (disc_r[0] >= 0)
+            root = _tf_sqrt(disc_r)
+            sN = jnp.where(N[0] >= 0, 1.0, -1.0)
+            L2 = _tf_scale(L, u)
+            M2 = _tf_scale(M, u)
+            N2 = _tf_scale(root, sN)
+    else:
+        ci = radius_inv
+        r2 = _tf_add(_tf_mul(x, x), _tf_mul(y, y))
+        arg = _tf_add((one, jnp.zeros_like(one)),
+                      _tf_scale(r2, -(1.0 + conic) * ci * ci))
+        ir = _tf_rsqrt(arg)
+        dfdx = _tf_scale(_tf_mul(x, ir), ci)
+        dfdy = _tf_scale(_tf_mul(y, ir), ci)
+        g2 = _tf_add(_tf_add(_tf_mul(dfdx, dfdx), _tf_mul(dfdy, dfdy)),
+                     (one, jnp.zeros_like(one)))
+        im = _tf_rsqrt(g2)
+        nx = _tf_mul(dfdx, im)
+        ny = _tf_mul(dfdy, im)
+        nz = _tf_neg(im)
+        dot = _tf_add(_tf_add(_tf_mul(L, nx), _tf_mul(M, ny)),
+                      _tf_mul(N, nz))
+        if is_refl:
+            td = _tf_scale(dot, 2.0)
+            L2 = _tf_add(L, _tf_neg(_tf_mul(td, nx)))
+            M2 = _tf_add(M, _tf_neg(_tf_mul(td, ny)))
+            N2 = _tf_add(N, _tf_neg(_tf_mul(td, nz)))
+        else:
+            u = n1 / n2
+            dsq = _tf_mul(dot, dot)
+            disc_r = _tf_add((one, jnp.zeros_like(one)),
+                             _tf_scale(_tf_add((one, jnp.zeros_like(one)),
+                                               _tf_neg(dsq)), -u * u))
+            ok = ok & (disc_r[0] >= 0)
+            root = _tf_sqrt(disc_r)
+            sgn_d = jnp.where(dot[0] >= 0, 1.0, -1.0)
+            w = _tf_add(_tf_scale(root, sgn_d), _tf_scale(dot, -u))
+            L2 = _tf_add(_tf_scale(L, u), _tf_mul(nx, w))
+            M2 = _tf_add(_tf_scale(M, u), _tf_mul(ny, w))
+            N2 = _tf_add(_tf_scale(N, u), _tf_mul(nz, w))
+    return x, y, z, L2, M2, N2, opd, ok, t
+
+
+def _surface_step_xy(c, st, *, is_plane: bool, is_refl: bool,
+                     absorbing: bool, has_ap: bool, has_coat: bool):
+    """Double-f32 surface step (meter-scale f32 coordinates, SURVEY §7 hard
+    part; VERDICT r4 item 8 — the coordinate analogue of the split-OPD
+    mode). Scope: untilted conic/plane refract/reflect stacks, unpolarized.
+
+    The whole kinematic state — per-ray AND a ()-shaped chief used only to
+    reference the OPD output — rides two-float (hi, lo) double-f32
+    arithmetic (_df32_chain): Dekker products need no FMA (the TPU VPU's
+    f32 multiply-add rounding is not IEEE-FMA), and the ~47-bit effective
+    significand puts full-scale-Hubble per-ray position noise at the
+    1e-11-mm class instead of single-f32's 1.3e-3 mm (> the 2.2e-4-mm
+    on-axis spot). Outputs round once to f32 at the very end: positions at
+    ulp(|coordinate|), OPD as the deviation from the chief's tf OPD.
+    """
+    (xh, xl, yh, yl, zh, zl, Lh, Ll, Mh, Ml, Nh, Nl,
+     inten, opdh, opdl, validf,
+     cxh, cxl, cyh, cyl, czh, czl, cLh, cLl, cMh, cMl, cNh, cNl,
+     coh, col) = st
+    valid = validf > 0.5
+
+    x, y, z, L, M, N, opd, ok, t = _df32_chain(
+        c, (xh, xl), (yh, yl), (zh, zl), (Lh, Ll), (Mh, Ml), (Nh, Nl),
+        (opdh, opdl), is_plane=is_plane, is_refl=is_refl)
+    valid = valid & ok
+    cx, cy, cz, cL, cM, cN, copd, _cok, _ct = _df32_chain(
+        c, (cxh, cxl), (cyh, cyl), (czh, czl), (cLh, cLl), (cMh, cMl),
+        (cNh, cNl), (coh, col), is_plane=is_plane, is_refl=is_refl)
+
+    if absorbing:
+        inten = inten * jnp.exp(-c[5] * (t[0] + t[1]) * 1e3)
+    if has_ap:
+        xa = x[0] - c[22]
+        ya = y[0] - c[23]
+        r2a = xa * xa + ya * ya
+        inside = (r2a >= c[20]) & (r2a <= c[21])
+        inten = inten * inside.astype(inten.dtype)
+    if has_coat:
+        inten = inten * c[6]
+
+    return (x[0], x[1], y[0], y[1], z[0], z[1], L[0], L[1], M[0], M[1],
+            N[0], N[1], inten, opd[0], opd[1], valid.astype(inten.dtype),
+            cx[0], cx[1], cy[0], cy[1], cz[0], cz[1], cL[0], cL[1],
+            cM[0], cM[1], cN[0], cN[1], copd[0], copd[1])
+
+
+
 def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None,
                   evecs=None, *,
                   is_plane: bool, is_refl: bool, absorbing: bool, acoef=None,
@@ -1560,6 +1851,45 @@ def _gen_prologue(gen, Px, Py, *, kahan: bool, polar_state,
     bx = gen[8]
     by = gen[9]
 
+    if split == "xy":
+        # double-f32 launch: per-ray state AND the ()-shaped chief (OPD
+        # reference) start as exact tf values; the whole normalize chain
+        # rides tf so direction quantization (ulp(f32) x gap would be
+        # ~1e-4 mm at telescope scale) never enters
+        def launch(px, py):
+            zero = jnp.zeros_like(px)
+            xf_tf = (jnp.reshape(x_field, ()).astype(Px.dtype) + zero, zero)
+            yf_tf = (jnp.reshape(y_field, ()).astype(Px.dtype) + zero, zero)
+            x = _tf_add(_tf_prod(px, ax), xf_tf)
+            y = _tf_add(_tf_prod(py, ay), yf_tf)
+            if telecentric:
+                dxr = _tf_prod(px, bx)
+                dyr = _tf_prod(py, by)
+                dzr = (jnp.reshape(epl, ()).astype(Px.dtype) + zero, zero)
+            else:
+                dxr = _tf_add(_tf_prod(px, bx), _tf_neg(x))
+                dyr = _tf_add(_tf_prod(py, by), _tf_neg(y))
+                dzr = (jnp.reshape(epl - z0s, ()).astype(Px.dtype) + zero,
+                       zero)
+            mag2 = _tf_add(_tf_add(_tf_mul(dxr, dxr), _tf_mul(dyr, dyr)),
+                           _tf_mul(dzr, dzr))
+            im = _tf_rsqrt(mag2)
+            return x, y, (zero, zero), _tf_mul(dxr, im), \
+                _tf_mul(dyr, im), _tf_mul(dzr, im)
+
+        x, y, z, L, M, N = launch(Px, Py)
+        zs = jnp.zeros((), Px.dtype)
+        cx, cy, cz, cL, cM, cN = launch(zs, zs)
+        if apod is not None:
+            inten = apod(Px, Py) * jnp.ones_like(Px)
+        else:
+            inten = jnp.ones_like(Px)
+        zero = jnp.zeros_like(Px)
+        return (x[0], x[1], y[0], y[1], z[0], z[1], L[0], L[1], M[0], M[1],
+                N[0], N[1], inten, zero, zero, jnp.ones_like(Px),
+                cx[0], cx[1], cy[0], cy[1], cz[0], cz[1], cL[0], cL[1],
+                cM[0], cM[1], cN[0], cN[1], zs, zs)
+
     x = Px * ax + x_field
     y = Py * ay + y_field
     z = jnp.full_like(Px, 1.0) * z0s
@@ -1609,11 +1939,20 @@ def _gen_prologue(gen, Px, Py, *, kahan: bool, polar_state,
     return tuple(st)
 
 
-def _state_step(flag, kahan: bool, n_ev: int, split: bool = False,
+def _state_step(flag, kahan: bool, n_ev: int, split=False,
                 sigma: float = 1.0):
     """One-surface step on the flat state tuple; positional array args only,
-    so the backward kernel can jax.vjp it per surface (manual remat)."""
+    so the backward kernel can jax.vjp it per surface (manual remat).
+    ``split``: False | True (split-OPD) | "xy" (deviation transport)."""
     kw = _step_kwargs(flag)
+    if split == "xy":
+        kw_xy = dict(is_plane=kw["is_plane"], is_refl=kw["is_refl"],
+                     absorbing=kw["absorbing"], has_ap=kw["has_ap"],
+                     has_coat=kw["has_coat"])
+
+        def step_xy(c, a, st):
+            return _surface_step_xy(c, st, **kw_xy)
+        return step_xy
     has_c = kahan or split
 
     def step(c, a, st):
@@ -1644,8 +1983,28 @@ def _state_step(flag, kahan: bool, n_ev: int, split: bool = False,
 
 
 def _gen_epilogue(st, gen, *, kahan: bool, n_ev: int, pol_scale,
-                  final_prop: bool, split: bool = False):
+                  final_prop: bool, split=False):
     """Final intensity (polarized chains), image propagation, NaN injection."""
+    if split == "xy":
+        (xh, xl, yh, yl, zh, zl, Lh, Ll, Mh, Ml, Nh, Nl,
+         inten, opdh, opdl, validf,
+         _cx0, _cx1, _cy0, _cy1, _cz0, _cz1, _cl0, _cl1, _cm0, _cm1,
+         _cn0, _cn1, coh, col) = st
+        x = (xh, xl)
+        y = (yh, yl)
+        z = (zh, zl)
+        if final_prop:
+            t_img = gen[6]
+            x = _tf_add(x, _tf_scale((Lh, Ll), t_img))
+            y = _tf_add(y, _tf_scale((Mh, Ml), t_img))
+            z = _tf_add(z, _tf_scale((Nh, Nl), t_img))
+        # one rounding to f32 at the very end: positions at
+        # ulp(|coordinate|); OPD as the tf deviation from the chief's tf
+        # OPD (the wrapper returns the chief base separately)
+        opd_dev = _tf_add((opdh, opdl), (-coh, -col))
+        return _nanify8(x[0] + x[1], y[0] + y[1], z[0] + z[1],
+                        Lh + Ll, Mh + Ml, Nh + Nl,
+                        inten, opd_dev[0] + opd_dev[1], validf > 0.5)
     x, y, z, L, M, N, inten, opd, validf = st[:9]
     # split mode: z stays LOCAL to the last surface's vertex — the wrapper
     # adds the global offset back (or keeps local for precision-sensitive
@@ -1708,13 +2067,20 @@ def _gen_kernel(gen_ref, consts_ref, acoef_ref, px_ref, py_ref,
     whole reference trace() pipeline is one kernel.
 
     consts_ref block is [1, S, 32] (grid axis 0 = wavelength: each block is
-    monochromatic with its own per-surface constants); gen_ref block is
-    [1, 16] (grid axis 1 = field: each block launches with its own
-    per-field aiming constants — VERDICT r4 item 2, same shape of solution
-    as the wavelength axis, zero per-ray gathers).
+    monochromatic with its own per-surface constants); gen_ref holds the
+    whole [F, 16] per-field launch-constant table (grid axis 1 = field —
+    VERDICT r4 item 2, same shape of solution as the wavelength axis, zero
+    per-ray gathers); the block's row is selected with a one-hot reduction
+    (Mosaic requires whole-array or (8,128)-divisible blocks, and F is
+    neither).
     """
+    from jax.experimental import pallas as pl
+
+    f = pl.program_id(1)
+    ohF = jax.lax.broadcasted_iota(jnp.int32, (gen_ref.shape[0], 1), 0) == f
+    gen_row = jnp.sum(jnp.where(ohF, gen_ref[...], 0.0), axis=0)
     x, y, z, L, M, N, inten, opd = _gen_pipeline(
-        gen_ref[0, :], consts_ref[0], acoef_ref[:], px_ref[:], py_ref[:],
+        gen_row, consts_ref[0], acoef_ref[:], px_ref[:], py_ref[:],
         flags=flags, final_prop=final_prop, kahan=kahan,
         polar_state=polar_state, split=split, telecentric=telecentric,
         apod=apod)
@@ -1754,7 +2120,7 @@ def _pallas_gen_trace_2d(gen, consts, acoef, Px, Py, flags: tuple,
     ray_out_spec = pl.BlockSpec((1, 1, block_rows, lanes),
                                 lambda w, f, i: (w, f, i, 0),
                                 memory_space=pltpu.VMEM)
-    gen_spec = pl.BlockSpec((1, 16), lambda w, f, i: (f, 0),
+    gen_spec = pl.BlockSpec((F, 16), lambda w, f, i: (0, 0),
                             memory_space=pltpu.VMEM)
     const_spec = pl.BlockSpec((1, S, _CONST_W), lambda w, f, i: (w, 0, 0),
                               memory_space=pltpu.VMEM)
@@ -1783,7 +2149,8 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
                            differentiable: bool = False,
                            opd_split: bool = False,
                            keep_local_z: bool = False,
-                           apodization=None):
+                           apodization=None,
+                           coord_split: bool = False):
     """Fused generation + trace: the kernel's only array inputs are the
     normalized pupil samples (8 bytes/ray HBM read), everything else lives
     in VMEM. ``final_prop`` fuses the image-thickness propagation too (the
@@ -1810,6 +2177,13 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
     function returns ``(rays, opd_base)`` with the per-wavelength scalar
     base (total OPD = base + deviation; wavefront work differences the
     deviations directly, which is where the f32 precision lives).
+    ``coord_split``: meter-scale f32 COORDINATES (VERDICT r4 item 8;
+    requires supports_split_xy): the whole kinematic state rides the
+    deviation-transport step (_surface_step_xy) against an in-kernel chief
+    ray, so positions/directions/spot merits — and their custom_vjp
+    gradients — keep full relative precision at telescope scale. Returns
+    ``(rays, opd_base)`` like opd_split, with opd the deviation from the
+    CHIEF path and base the chief's own OPD per (wavelength, field).
     """
     from ..trace.paraxial import Paraxial
     from ..core.rays import Rays
@@ -1880,9 +2254,16 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
     gen = jnp.stack([gen_row(Hxa[f], Hya[f])
                      for f in range(F)]).astype(jnp.float32)
 
-    if opd_split:
+    split_mode = False
+    if coord_split:
+        assert supports_split_xy(model), \
+            "coord_split needs an untilted unpolarized conic/plane stack"
+        split_mode = "xy"
+    elif opd_split:
         assert supports_split_opd(model), \
             "opd_split needs an untilted conic/plane refract/reflect stack"
+        split_mode = True
+    if split_mode:
         # surface 1's vertex gap is measured from the LAUNCH plane
         consts = consts.at[:, 0, 27].set(
             (pos[1] - gen[0, 4]).astype(consts.dtype))
@@ -1904,7 +2285,7 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
     if differentiable:
         from .pallas_grad import diff_gen_trace
         core = diff_gen_trace(flags, block_rows, final_prop, interpret, kahan,
-                              polar_state, opd_split, telecentric,
+                              polar_state, split_mode, telecentric,
                               apodization)
         out = core(gen, consts, acoef, shape(Px), shape(Py))
     else:
@@ -1912,7 +2293,7 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
                                    flags=flags, block_rows=block_rows,
                                    final_prop=final_prop, interpret=interpret,
                                    kahan=kahan, polar_state=polar_state,
-                                   split=opd_split, telecentric=telecentric,
+                                   split=split_mode, telecentric=telecentric,
                                    apod=apodization)
     W = wls.shape[0]
     x, y, z, L, M, N, inten, opd = [
@@ -1928,12 +2309,39 @@ def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
     else:
         x, y, z, L, M, N, inten, opd, wl_col = [
             v.reshape(-1) for v in (x, y, z, L, M, N, inten, opd, wl_col)]
-    if opd_split and not keep_local_z:
+    if split_mode and not keep_local_z:
         z = z + pos[-1].astype(z.dtype)
     rays_out = Rays(x=x, y=y, z=z, L=L, M=M, N=N, intensity=inten,
                     wavelength=wl_col, opd=opd, p=None)
-    if not opd_split:
+    if not split_mode:
         return rays_out
+    if coord_split:
+        # chief base OPD: run the SAME xy pipeline on the single
+        # pupil-center ray in plain XLA (scalar shapes) and read the
+        # chief accumulator — the deviation in rays.opd plus this base is
+        # the absolute OPD (relative-precise where it matters: across the
+        # pupil the base is common)
+        def chief_opd(gen_row, consts_w):
+            st = _gen_prologue(gen_row, jnp.zeros(()), jnp.zeros(()),
+                               kahan=False, polar_state=None, split="xy",
+                               telecentric=telecentric, apod=None)
+            sigma = 1.0
+            for k, flag in enumerate(flags):
+                st = _state_step(flag, False, 0, "xy", sigma)(
+                    consts_w[k], acoef[k], st)
+                if flag[1]:
+                    sigma = -sigma
+            return st[28] + st[29]   # chief OPD accumulator (tf fold)
+
+        base = jax.vmap(lambda cw: jax.vmap(
+            lambda g: chief_opd(g, cw))(gen))(consts)   # [W, F]
+        if wl.ndim == 0 and not field_vec:
+            base = base[0, 0]
+        elif wl.ndim == 0:
+            base = base[0]
+        elif not field_vec:
+            base = base[:, 0]
+        return rays_out, base
     # axial reference path: sum_k sigma_k * n1_k * dz_k from the constants
     # (per wavelength; identical for every ray — the deviation in rays.opd
     # plus this base is the absolute OPD)
