@@ -142,6 +142,12 @@ class Geometry:
 
     kind: str = "base"
     is_symmetric: bool = False
+    # host-side structural hints stamped by Optic.build() (None = unknown,
+    # fall back to a concrete param check): inf-ness of the vertex radius is
+    # static, and reading it back from device params poisons the axon
+    # dispatch path (utils/hostvals.py)
+    radius_is_inf: bool | None = None
+    radius_rot_is_inf: bool | None = None
 
     # --- schema -----------------------------------------------------------
     def default_params(self, **kw) -> dict:

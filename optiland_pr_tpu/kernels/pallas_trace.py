@@ -1731,11 +1731,21 @@ def model_flags(model: OpticModel, params) -> tuple:
                 jax.errors.ConcretizationTypeError):
             return default
 
+    def _radius_isinf(spec, sp, key, default):
+        """Prefer the host-side hint Optic.build() stamps on the geometry —
+        a concrete check on device params is a device->host readback, which
+        permanently degrades the axon dispatch path (utils/hostvals.py)."""
+        hint = getattr(spec.geometry, "radius_is_inf" if key == "radius"
+                       else "radius_rot_is_inf", None)
+        if hint is not None:
+            return hint
+        return _concrete_isinf(sp["geom"].get(key, np.inf), default)
+
     flags = []
     for k in range(1, model.num_surfaces):
         spec = model.surfaces[k]
         sp = params["surfaces"][k]
-        is_plane = _concrete_isinf(sp["geom"].get("radius", np.inf), False)
+        is_plane = _radius_isinf(spec, sp, "radius", False)
         pre = model.surfaces[k - 1]
         absorbing = model.surfaces[pre.material_src].material.absorbing
         gk = spec.geometry.kind
@@ -1753,8 +1763,7 @@ def model_flags(model: OpticModel, params) -> tuple:
         elif gk == "forbes_q2d":
             gextra = spec.geometry.terms
             nu = len(spec.geometry.terms)
-        if gk == "toroidal" and _concrete_isinf(sp["geom"]["radius_rot"],
-                                                False):
+        if gk == "toroidal" and _radius_isinf(spec, sp, "radius_rot", False):
             gkind = "toroidal_inf"
         coat = "none" if spec.coating is None else spec.coating.kind
         # static interaction descriptor (None = refract/reflect):

@@ -23,6 +23,7 @@ from ..materials import resolve_material
 from ..materials.base import Mirror
 from ..trace import real as real_trace
 from ..trace.paraxial import Paraxial
+from ..utils.hostvals import host_isinf
 from .apertures import configure_aperture
 from .model import OpticModel, SurfaceDef, make_surface_params
 
@@ -422,6 +423,14 @@ class Optic:
             gkw.setdefault("radius", e["radius"])
             gkw.setdefault("conic", e["conic"])
             geometry = _GEOMETRY_BUILDERS[e["surface_type"]](gkw)
+            # static host-side hints: inf-ness of a radius is structural
+            # (users type radius=inf; no optimizer reaches it), and reading
+            # it back from the device params later poisons the process-wide
+            # dispatch path (utils/hostvals.py) — stamp it here from the
+            # HOST builder inputs instead
+            geometry.radius_is_inf = host_isinf(gkw.get("radius"), False)
+            geometry.radius_rot_is_inf = host_isinf(
+                gkw.get("radius_rot", float("inf")), False)
 
             mat_spec = e["material"]
             is_reflective = isinstance(mat_spec, str) and \
@@ -500,8 +509,7 @@ class Optic:
             primary_wavelength_idx=self.primary_wavelength_idx,
             polarization=self.polarization,
             obj_space_telecentric=self.obj_space_telecentric,
-            _object_infinite=bool(jnp.isinf(
-                jnp.asarray(self._surfaces[0]["thickness"]))),
+            _object_infinite=host_isinf(self._surfaces[0]["thickness"]),
         )
         fields = jnp.asarray([(f[0], f[1]) for f in self.fields] or [(0., 0.)],
                              dt)
