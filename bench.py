@@ -4,16 +4,25 @@ Driver contract: prints ONE JSON line for the headline metric —
 ray-surfaces/s/chip on the 6-surface Cooke triplet
 {"metric", "value", "unit", "vs_baseline"} — as the LAST stdout line.
 
-Default run = the full suite (VERDICT r2 item 9: the official record is the
-suite JSON with median-of-5 timing, so one tunnel-noise spike can't swing the
-headline +-15%): forward entries (Cooke mono/3-λ, AsphericSinglet,
-DoubleGauss mono/3-λ, Hubble, tilted singlet, Chebyshev + Zernike freeforms,
-Fresnel concentrator [BASELINE config #4], DOE grating mono/3-λ + metasurface
-phase lens [round 4: in-kernel diffraction], polarized+coated double-Gauss
-[config #2, in-kernel Jones chain], XLA fallback) plus GRADIENT
+Default run = the full suite: forward entries (Cooke mono/3-λ,
+AsphericSinglet, DoubleGauss mono/3-λ, Hubble, tilted singlet, Chebyshev +
+Zernike freeforms, Fresnel concentrator [BASELINE config #4], DOE grating
+mono/3-λ + metasurface phase lens [in-kernel diffraction], polarized+coated
+double-Gauss [config #2, in-kernel Jones chain], XLA fallback) plus GRADIENT
 entries (4M-ray RMS-spot merit value_and_grad through the custom_vjp Pallas
-kernel, and the XLA AD path for comparison). Writes BENCH_SUITE.json and
-prints the Cooke headline last. ``--headline`` runs only the Cooke entry.
+kernel: Cooke, double-Gauss, polarized double-Gauss, and the XLA AD path).
+Writes BENCH_SUITE.json and prints the Cooke headline last. ``--headline``
+runs only the Cooke entry.
+
+Timing protocol (round 5, validated K=1..65 linear in BENCHMARKS.md): the
+axon tunnel's async dispatch is LAZY (block_until_ready does not track
+device execution) and its sync path costs ~3-9 ms RPC per call, so every
+entry is a dynamic-K ``lax.fori_loop`` over the workload inside ONE jit,
+timed as median (t(K_hi) - t(1)) / (K_hi - 1) with per-call blocking and
+per-call seeds (the tunnel coalesces identical in-flight requests). The
+difference cancels RPC latency and input transfer: the number is on-device
+execution per trace — what the same code does on local (non-tunneled) TPU
+hardware, where dispatch is ~10 us.
 
 - metric unit: ray-surfaces per second per chip (the reference's headline,
   README.md:120 "150M+ ray-surfaces/s" on GPU).
@@ -29,13 +38,15 @@ import numpy as np
 N_RAYS = 4_000_000
 REFERENCE_RAY_SURFACES_PER_S = 150e6  # reference README.md:120 (GPU)
 
-# Probe reference point: the VPU roofline probe measured in the round-4
-# record's healthiest tunnel window (BENCH_SUITE.json r4, vpu_gops=119).
-# The axon tunnel drifts up to 2.5x within a day, so every suite entry also
-# carries value_normalized = value * (PROBE_REF_VPU_GOPS / session vpu_gops):
-# the throughput the same kernel would show at the reference tunnel health.
+# Probe reference point under the round-5 sync-K-diff protocol (the old
+# 119-GOPS number was per-call wall time through the tunnel, i.e. mostly
+# RPC latency; the protocol change re-baselines it): two back-to-back
+# round-5 sessions measured 2236 / 2278 GOPS on the VPU compute probe.
+# Chips behind the pool still differ, so every suite entry carries
+# value_normalized = value * (PROBE_REF_VPU_GOPS / session vpu_gops):
+# the throughput the same kernel would show on the reference chip.
 # Claims in BENCHMARKS.md are stated from the normalized column.
-PROBE_REF_VPU_GOPS = 119.0
+PROBE_REF_VPU_GOPS = 2250.0
 
 
 def _pupil(n, dt):
@@ -194,9 +205,64 @@ def _polarized_double_gauss():
     return _load_example("double_gauss_polarized").build()
 
 
+def _force_sync_dispatch():
+    """Deliberately switch the axon client to its synchronous dispatch path.
+
+    Round-5 finding (BENCHMARKS.md): the tunnel's initial async mode is
+    LAZY — ``block_until_ready`` returns before the device executes, so
+    wall-clock over queued calls measures enqueue time (a 4M-ray trace
+    "took" 0.06 ms). The first device->host scalar readback permanently
+    switches the client to a synchronous path whose timings are real; the
+    K-difference protocol below then cancels that path's ~3-9 ms per-call
+    RPC latency, leaving pure device time.
+    """
+    import jax.numpy as jnp
+    float(jnp.float32(1.0))
+
+
 def _time(fn, *args, reps=10, rounds=5):
     from optiland_pr_tpu.utils import time_median
     return time_median(fn, *args, reps=reps, rounds=rounds)
+
+
+def _time_k_diff(step, k_lo, k_hi, *args, rounds=5):
+    """Per-iteration device time of ``step(K, seed, *args)`` — a jitted
+    dynamic-K fori_loop over the workload: median over rounds of
+    (t(k_hi) - t(k_lo)) / (k_hi - k_lo). Both calls pay the same RPC
+    latency and input-transfer cost, so the difference is on-device
+    execution — what "rays/s per chip" means on real (non-tunneled)
+    hardware, where dispatch is ~10 us, not ~3-9 ms.
+
+    Every call blocks individually and carries a FRESH seed: the tunnel
+    coalesces identical in-flight requests (a queue of 10 equal calls
+    returns after ~one execution), so queued-reps timing under-counts.
+    Returns (per_iter_s, t_lo_s)."""
+    import time as _time_mod
+
+    import jax
+    import jax.numpy as jnp
+
+    k_lo_d = jnp.int32(k_lo)
+    k_hi_d = jnp.int32(k_hi)
+    # warm/compile (K is a dynamic operand: one executable for both)
+    jax.block_until_ready(step(k_hi_d, jnp.float32(0.9876), *args))
+    diffs = []
+    t_lo_last = 0.0
+    for r in range(rounds):
+        s_hi = jnp.float32(1.0 + 0.001 * r)
+        s_lo = jnp.float32(1.0 + 0.001 * r + 0.0004)
+        t0 = _time_mod.perf_counter()
+        jax.block_until_ready(step(k_hi_d, s_hi, *args))
+        t1 = _time_mod.perf_counter()
+        jax.block_until_ready(step(k_lo_d, s_lo, *args))
+        t2 = _time_mod.perf_counter()
+        diffs.append((t1 - t0) - (t2 - t1))
+        t_lo_last = t2 - t1
+    diffs.sort()
+    n = len(diffs)
+    med = diffs[n // 2] if n % 2 else 0.5 * (diffs[n // 2 - 1]
+                                             + diffs[n // 2])
+    return max(med / (k_hi - k_lo), 1e-9), t_lo_last
 
 
 def bench_system(name, build, wavelength, n_rays=N_RAYS, engine="auto"):
@@ -227,21 +293,28 @@ def bench_system(name, build, wavelength, n_rays=N_RAYS, engine="auto"):
     polarized = model.polarization != "ignore"
 
     @jax.jit
-    def step(params, Px, Py):
-        if use_pallas:
-            rays = pallas_gen_trace_conic(model, params, Px, Py, wl,
-                                          flags=flags, final_prop=True)
-        else:
-            def one(w):
-                return real_trace.trace(model, params, 0.0, 0.0, w, Px, Py)
-            if wl.ndim == 0:
-                rays = one(wl)
+    def step(K, seed, params, Px, Py):
+        def body(i, acc):
+            # iteration- and seed-dependent input: the trace cannot be
+            # hoisted out of the loop, and the tunnel cannot coalesce
+            # identical requests
+            s = seed + 1e-9 * i.astype(jnp.float32)
+            if use_pallas:
+                rays = pallas_gen_trace_conic(model, params, Px * s, Py, wl,
+                                              flags=flags, final_prop=True)
             else:
-                rays = jax.vmap(one)(wl)
-        return (jnp.sum(rays.x) + jnp.sum(rays.y) + jnp.sum(rays.opd)
-                + jnp.sum(rays.intensity))
+                def one(w):
+                    return real_trace.trace(model, params, 0.0, 0.0, w,
+                                            Px * s, Py)
+                if wl.ndim == 0:
+                    rays = one(wl)
+                else:
+                    rays = jax.vmap(one)(wl)
+            return (acc + jnp.sum(rays.x) + jnp.sum(rays.y)
+                    + jnp.sum(rays.opd) + jnp.sum(rays.intensity))
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
 
-    dt_s = _time(step, params, Px, Py)
+    dt_s, t_call = _time_k_diff(step, 1, 17, params, Px, Py)
     n_surf = model.num_surfaces - 1  # object surface is a no-op
     ray_surfaces_per_s = n_rays * n_wl * n_surf / dt_s
     return {
@@ -254,6 +327,8 @@ def bench_system(name, build, wavelength, n_rays=N_RAYS, engine="auto"):
         "n_rays": n_rays, "n_wavelengths": n_wl, "n_surfaces": n_surf,
         "engine": "pallas" if use_pallas else "xla",
         "polarized": polarized,
+        "protocol": "sync fori K-diff 1->17",
+        "t_per_iter_s": float(dt_s), "t_per_call_k1_s": float(t_call),
     }
 
 
@@ -271,8 +346,8 @@ def bench_grad(name, build, wavelength, n_rays, engine):
     params = _f32_params(params)
     Px, Py = _pupil(n_rays, jnp.float32)
 
-    def merit(p):
-        rays = final_rays(model, p, 0.0, 0.7, wavelength, Px, Py,
+    def merit(p, Pxs):
+        rays = final_rays(model, p, 0.0, 0.7, wavelength, Pxs, Py,
                           final_prop=True, engine=engine)
         x, y = rays.x, rays.y
         ok = jnp.isfinite(x) & jnp.isfinite(y)
@@ -285,8 +360,17 @@ def bench_grad(name, build, wavelength, n_rays, engine):
         return jnp.sqrt(jnp.sum(jnp.where(ok, (xs - mx) ** 2
                                           + (ys - my) ** 2, 0.0)) / ws)
 
-    vg = jax.jit(jax.value_and_grad(merit))
-    dt_s = _time(vg, params, reps=5, rounds=5)
+    @jax.jit
+    def step(K, seed, params, Px):
+        def body(i, acc):
+            s = seed + 1e-9 * i.astype(jnp.float32)
+            v, g = jax.value_and_grad(lambda p: merit(p, Px * s))(params)
+            gs = sum(jnp.sum(l) for l in jax.tree_util.tree_leaves(g)
+                     if jnp.issubdtype(l.dtype, jnp.floating))
+            return acc + v + gs
+        return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+    dt_s, t_call = _time_k_diff(step, 1, 9, params, Px, rounds=5)
     n_surf = model.num_surfaces - 1
     return {
         "metric": f"grad_rays_per_s_{name}",
@@ -296,6 +380,8 @@ def bench_grad(name, build, wavelength, n_rays, engine):
         "grad_steps_per_s": float(1.0 / dt_s),
         "ray_surfaces_per_s": float(n_rays * n_surf / dt_s),
         "n_rays": n_rays, "n_surfaces": n_surf, "engine": engine,
+        "protocol": "sync fori K-diff 1->9",
+        "t_per_iter_s": float(dt_s), "t_per_call_k1_s": float(t_call),
     }
 
 
@@ -306,60 +392,55 @@ def bench_probe():
     surface step (the trace kernels are VPU-bound, so the VPU probe is the
     relevant normalizer for rays/s entries).
 
-    Probe hygiene, learned the hard way: each timed call gets a DIFFERENT
-    input and blocks individually (the axon tunnel appears to coalesce
-    identical queued requests — an async-queued constant-input matmul
-    measured an impossible 4000 TFLOP/s), and the in-jit chain is long
-    enough that device time dwarfs the per-call tunnel latency."""
-    import time as _time_mod
-
+    Probe hygiene, learned the hard way: the tunnel's async mode is lazy
+    (an async-queued constant-input matmul measured an impossible 4000
+    TFLOP/s), so the suite forces the sync dispatch path first and every
+    probe is a dynamic-K fori_loop timed by K-difference — per-call RPC
+    latency and input transfer cancel, leaving on-device time only (same
+    protocol as the trace entries)."""
     import jax
     import jax.numpy as jnp
 
     n = 2048
-    chain = 32
-    # row-stochastic b keeps the chain bounded
-    b = jnp.full((n, n), 1.0 / n, jnp.float32)
+    # random row-stochastic b keeps the chain bounded; random data (not a
+    # compile-time uniform constant) so no algebraic shortcut exists, and
+    # HIGHEST precision pins true f32 MXU throughput (the default is bf16)
+    rngb = np.random.default_rng(7)
+    bh = rngb.uniform(0.5, 1.5, size=(n, n)).astype(np.float32)
+    b = jnp.asarray(bh / bh.sum(axis=1, keepdims=True))
 
     @jax.jit
-    def mxu(seed, b):
-        x = jnp.full((n, n), 1.0, jnp.float32) * seed
-        for _ in range(chain):
-            x = x @ b
-        return jnp.sum(x)
+    def mxu(K, seed, b):
+        def body(i, x):
+            return jnp.dot(x + 1e-30 * i.astype(jnp.float32), b,
+                           precision=jax.lax.Precision.HIGHEST)
+        x0 = jnp.full((n, n), 1.0, jnp.float32) * seed
+        return jnp.sum(jax.lax.fori_loop(0, K, body, x0))
 
-    def _run(f, *args_fn, reps=3):
-        # float() forces a device-to-host fetch of the scalar result —
-        # block_until_ready alone returned before the remote device finished
-        float(f(jnp.float32(1.0), *args_fn))
-        ts = []
-        for i in range(reps):
-            t0 = _time_mod.perf_counter()
-            float(f(jnp.float32(1.0 + 0.001 * i), *args_fn))
-            ts.append(_time_mod.perf_counter() - t0)
-        return min(ts)
-
-    t_mxu = _run(mxu, b)
-    tflops = chain * 2 * n**3 / t_mxu / 1e12
+    t_mxu, _ = _time_k_diff(mxu, 2, 34, b, rounds=3)
+    tflops = 2 * n**3 / t_mxu / 1e12
 
     m = 1 << 22
-    vchain = 128
+    vchain = 32  # inner unrolled chain: 192 ops per element per fori iter,
+    #              ~16 flop/byte — VPU-bound, not an HBM bandwidth probe
 
     @jax.jit
-    def vpu(seed):
-        v = jnp.linspace(0.1, 1.0, m, dtype=jnp.float32) * seed
-        x = v
-        for _ in range(vchain):
-            x = x * v + 0.5
-            x = x * jax.lax.rsqrt(x * x + 1.0)
-        return jnp.sum(x)
+    def vpu(K, seed, v):
+        def body(i, x):
+            x = x + 1e-12 * i.astype(jnp.float32)
+            for _ in range(vchain):
+                x = x * v + 0.5
+                x = x * jax.lax.rsqrt(x * x + 1.0)
+            return x
+        return jnp.sum(jax.lax.fori_loop(0, K, body, v * seed))
 
-    t_vpu = _run(vpu)
-    vpu_gops = vchain * 6 * m / t_vpu / 1e9
+    v0 = jnp.linspace(0.1, 1.0, m, dtype=jnp.float32)
+    t_vpu, _ = _time_k_diff(vpu, 2, 66, v0, rounds=5)
+    vpu_gops = 6 * vchain * m / t_vpu / 1e9
     return {
         "metric": "probe_roofline",
         "value": float(tflops),
-        "unit": "TFLOP/s f32 chained matmul 2048^3 x32",
+        "unit": "TFLOP/s f32-highest matmul 2048^3 (sync fori K-diff)",
         "vs_baseline": 0.0,
         "vpu_gops": float(vpu_gops),
         "t_mxu_s": float(t_mxu), "t_vpu_s": float(t_vpu),
@@ -388,8 +469,8 @@ def suite():
         ("finite_conjugate", _finite_conjugate_doublet, 0.55, N_RAYS,
          "auto"),
         ("double_gauss_polarized", _polarized_double_gauss, 0.5876,
-         1_000_000, "auto"),   # in-kernel Jones chain (round 3)
-        ("cooke_triplet_xla", CookeTriplet, 0.55, 1_000_000, "xla"),
+         N_RAYS, "auto"),   # in-kernel Jones chain; 4M like every entry
+        ("cooke_triplet_xla", CookeTriplet, 0.55, N_RAYS, "xla"),
     ]
     results = []
     headline = None
@@ -398,6 +479,7 @@ def suite():
         with open("BENCH_SUITE.json", "w") as f:
             json.dump(results, f, indent=1)
 
+    _force_sync_dispatch()
     probe = bench_probe()
     print(json.dumps(probe), flush=True)
     results.append(probe)
@@ -423,13 +505,17 @@ def suite():
 
     import jax
     grad_engine = "auto" if jax.devices()[0].platform != "cpu" else "xla"
-    grad_entries = [
-        ("cooke_pallas", grad_engine, N_RAYS),
-        ("cooke_xla", "xla", 500_000),
-    ]
     from optiland_pr_tpu.samples import CookeTriplet as _CT
-    for gname, gengine, gn in grad_entries:
-        res = normalize(bench_grad(gname, _CT, 0.55, gn, gengine))
+    from optiland_pr_tpu.samples import DoubleGauss as _DG
+    grad_entries = [
+        ("cooke_pallas", _CT, 0.55, grad_engine, N_RAYS),
+        ("double_gauss_pallas", _DG, 0.5876, grad_engine, N_RAYS),
+        ("double_gauss_polarized", _polarized_double_gauss, 0.5876,
+         grad_engine, N_RAYS),
+        ("cooke_xla", _CT, 0.55, "xla", 500_000),
+    ]
+    for gname, gbuild, gwl, gengine, gn in grad_entries:
+        res = normalize(bench_grad(gname, gbuild, gwl, gn, gengine))
         print(json.dumps(res), flush=True)
         results.append(res)
         flush_suite()
@@ -452,6 +538,7 @@ def _headline_line(res):
 def main():
     if "--headline" in sys.argv:
         from optiland_pr_tpu.samples import CookeTriplet
+        _force_sync_dispatch()
         res = bench_system("cooke_triplet", CookeTriplet, 0.55)
         print(_headline_line(res))
         return
