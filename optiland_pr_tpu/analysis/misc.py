@@ -336,17 +336,20 @@ class RmsWavefrontErrorVsField:
     """RMS wavefront error scan across field (reference analysis/rms_vs_field.py)."""
 
     def __init__(self, optic, num_fields: int = 16, num_rays: int = 12):
+        from .wavefront import wavefront_grid
         model, params = optic.build()
         Px, Py = generate_distribution("hexapolar", num_rays)
         Hy = np.linspace(0, 1, num_fields)
         self.fields = Hy
-        rms = []
-        for h in Hy:
-            for wl in [float(w) for w in params["wavelengths"]]:
-                d = wavefront_data(model, params, (0.0, float(h)), wl, Px, Py)
-                w = d.intensity
-                rms.append(jnp.sqrt(jnp.sum(d.opd**2 * w) / jnp.sum(w)))
-        self.rms = jnp.stack(rms).reshape(num_fields, -1)
+        # the whole field scan x wavelengths is one computation
+        # (VERDICT r4 item 2 wavefront half)
+        grid = wavefront_grid(model, params,
+                              [(0.0, float(h)) for h in Hy],
+                              [float(w) for w in params["wavelengths"]],
+                              Px, Py)
+        w = grid.intensity
+        self.rms = jnp.sqrt(jnp.sum(grid.opd**2 * w, axis=-1)
+                            / jnp.sum(w, axis=-1))
 
     def view(self):
         import matplotlib.pyplot as plt

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 
 from ..core.distributions import generate_distribution
@@ -18,14 +19,17 @@ from ..system.model import OpticModel, positions_from_params, field_coords
 from ..trace import real as real_trace
 from ..trace.paraxial import Paraxial, system_arrays
 
-__all__ = ["WavefrontData", "wavefront_data", "Wavefront", "OPD", "OPDFan",
+__all__ = ["WavefrontData", "wavefront_data", "wavefront_grid",
+           "Wavefront", "OPD", "OPDFan",
            "ZernikeOPD", "fit_and_remove_tilt"]
 
 
 @dataclasses.dataclass
 class WavefrontData:
     """Per-(field, wavelength) wavefront results (reference
-    wavefront/wavefront_data.py)."""
+    wavefront/wavefront_data.py). Registered as a pytree so a whole
+    fields x wavelengths grid can be computed under one vmap
+    (``wavefront_grid``)."""
     pupil_x: jnp.ndarray
     pupil_y: jnp.ndarray
     pupil_z: jnp.ndarray
@@ -33,6 +37,13 @@ class WavefrontData:
     intensity: jnp.ndarray
     radius: jnp.ndarray         # reference-sphere radius
     center: tuple | None = None  # reference-sphere center (x, y, z)
+
+
+jax.tree_util.register_dataclass(
+    WavefrontData,
+    data_fields=["pupil_x", "pupil_y", "pupil_z", "opd", "intensity",
+                 "radius", "center"],
+    meta_fields=[])
 
 
 def _opd_image_to_xp(rays, xc, yc, zc, R, n_image):
@@ -170,10 +181,16 @@ def _wavefront_data_split(model, params, field, wavelength, Px, Py
 
 
 def wavefront_data(model: OpticModel, params, field, wavelength, Px, Py,
-                   strategy: str = "chief_ray") -> WavefrontData:
+                   strategy: str = "chief_ray",
+                   engine: str = "auto") -> WavefrontData:
     """Compute wavefront data for one field/wavelength
-    (reference strategy.py:176-230 chief-ray path)."""
-    if strategy == "chief_ray" and _split_wavefront_eligible(model):
+    (reference strategy.py:176-230 chief-ray path).
+
+    ``engine`` forwards to the trace dispatch; "xla" also bypasses the
+    split-OPD kernel path (used by ``wavefront_grid``, whose vmap cannot
+    batch a pallas_call)."""
+    if (strategy == "chief_ray" and engine != "xla"
+            and _split_wavefront_eligible(model)):
         return _wavefront_data_split(model, params, field, wavelength,
                                      Px, Py)
     par = Paraxial(model, params)
@@ -192,7 +209,7 @@ def wavefront_data(model: OpticModel, params, field, wavelength, Px, Py,
     vx_, vy_ = vig_factor(model, params, hx, hy)
     rays = final_rays(model, params, hx, hy, wavelength,
                       jnp.asarray(Px) * (1 - vx_), jnp.asarray(Py) * (1 - vy_),
-                      final_prop=True)
+                      final_prop=True, engine=engine)
 
     if strategy == "chief_ray":
         pupil_z = par.XPL() + pos[-1]
@@ -285,6 +302,45 @@ def wavefront_data(model: OpticModel, params, field, wavelength, Px, Py,
                          center=(xc, yc, zc))
 
 
+def wavefront_grid(model: OpticModel, params, fields, wavelengths, Px, Py,
+                   strategy: str = "chief_ray") -> WavefrontData:
+    """The whole fields x wavelengths wavefront grid as ONE computation
+    (VERDICT r4 item 2, wavefront half): every leaf of the returned
+    WavefrontData carries leading axes [F, W].
+
+    Two regimes:
+    - split-OPD-eligible on an accelerator: the per-pair kernel path is
+      already a single fused launch (chief ray rides as sample 0) and a
+      pallas_call cannot be vmapped, so pairs loop and stack;
+    - everywhere else (CPU, tilted systems, centroid/best-fit strategies):
+      one jitted vmap over the flattened (F*W) pairs — the XLA engine
+      batches the small per-pair bundles into one program instead of
+      F*W eager dispatches.
+    """
+    F = len(fields)
+    W = len(wavelengths)
+    if strategy == "chief_ray" and _split_wavefront_eligible(model):
+        data = [wavefront_data(model, params, f, wl, Px, Py,
+                               strategy=strategy)
+                for f in fields for wl in wavelengths]
+        return jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs).reshape((F, W) + jnp.shape(xs[0])),
+            *data)
+
+    hh = jnp.asarray([[f[0], f[1]] for f in fields], jnp.result_type(Px))
+    ww = jnp.asarray(wavelengths, jnp.result_type(Px))
+    hh_flat = jnp.repeat(hh, W, axis=0)           # [(F*W), 2]
+    ww_flat = jnp.tile(ww, F)
+
+    def one(h, w):
+        return wavefront_data(model, params, (h[0], h[1]), w, Px, Py,
+                              strategy=strategy, engine="xla")
+
+    data = jax.jit(jax.vmap(one))(hh_flat, ww_flat)
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((F, W) + a.shape[1:]), data)
+
+
 def fit_and_remove_tilt(data: WavefrontData, remove_piston: bool = False,
                         ridge: float = 1e-12):
     """Weighted LSQ piston/tilt removal (reference wavefront/wavefront.py:96-142)."""
@@ -321,11 +377,14 @@ class Wavefront:
         self.wavelengths = wavelengths
         Px, Py = generate_distribution(distribution, num_rays)
         self.distribution_x, self.distribution_y = Px, Py
+        # one computation for the whole grid (vmapped XLA or stacked
+        # split-kernel launches — wavefront_grid decides)
+        grid = wavefront_grid(model, params, list(fields), list(wavelengths),
+                              Px, Py, strategy=strategy)
         self.data = {}
-        for f in fields:
-            for wl in wavelengths:
-                d = wavefront_data(model, params, f, wl, Px, Py,
-                                   strategy=strategy)
+        for i, f in enumerate(fields):
+            for j, wl in enumerate(wavelengths):
+                d = jax.tree_util.tree_map(lambda a: a[i, j], grid)
                 if remove_tilt:
                     d = dataclasses.replace(d, opd=fit_and_remove_tilt(d))
                 self.data[(f, wl)] = d
