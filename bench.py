@@ -265,9 +265,12 @@ def _time_k_diff(step, k_lo, k_hi, *args, rounds=5):
     return max(med / (k_hi - k_lo), 1e-9), t_lo_last
 
 
-def bench_system(name, build, wavelength, n_rays=N_RAYS, engine="auto"):
+def bench_system(name, build, wavelength, n_rays=N_RAYS, engine="auto",
+                 fields=None):
     """One forward benchmark entry: fused Pallas gen+trace+image-prop when
-    supported (and a TPU is present), else the XLA pipeline."""
+    supported (and a TPU is present), else the XLA pipeline. ``fields``:
+    a list of (Hx, Hy) makes the entry a vector-field launch — the kernel's
+    field grid axis traces the whole F x W grid in one launch."""
     import jax
     import jax.numpy as jnp
     from optiland_pr_tpu.kernels import (pallas_gen_trace_conic,
@@ -282,6 +285,13 @@ def bench_system(name, build, wavelength, n_rays=N_RAYS, engine="auto"):
 
     wl = jnp.asarray(wavelength, dt)
     n_wl = 1 if wl.ndim == 0 else int(wl.shape[0])
+    if fields is None:
+        Hx = Hy = 0.0
+        n_f = 1
+    else:
+        Hx = jnp.asarray([f[0] for f in fields], dt)
+        Hy = jnp.asarray([f[1] for f in fields], dt)
+        n_f = len(fields)
     Px, Py = _pupil(n_rays, dt)
     zeros = jnp.zeros_like(Px)
 
@@ -301,30 +311,39 @@ def bench_system(name, build, wavelength, n_rays=N_RAYS, engine="auto"):
             s = seed + 1e-9 * i.astype(jnp.float32)
             if use_pallas:
                 rays = pallas_gen_trace_conic(model, params, Px * s, Py, wl,
+                                              Hx=Hx, Hy=Hy,
                                               flags=flags, final_prop=True)
             else:
-                def one(w):
-                    return real_trace.trace(model, params, 0.0, 0.0, w,
+                def one_fw(f_and_w):
+                    hx, hy, w = f_and_w
+                    return real_trace.trace(model, params, hx, hy, w,
                                             Px * s, Py)
-                if wl.ndim == 0:
-                    rays = one(wl)
+                if wl.ndim == 0 and fields is None:
+                    rays = one_fw((0.0, 0.0, wl))
                 else:
-                    rays = jax.vmap(one)(wl)
+                    wls_b = jnp.atleast_1d(wl)
+                    hxb = jnp.atleast_1d(jnp.asarray(Hx, dt))
+                    hyb = jnp.atleast_1d(jnp.asarray(Hy, dt))
+                    grid = (jnp.repeat(hxb, wls_b.shape[0]),
+                            jnp.repeat(hyb, wls_b.shape[0]),
+                            jnp.tile(wls_b, hxb.shape[0]))
+                    rays = jax.vmap(one_fw)(grid)
             return (acc + jnp.sum(rays.x) + jnp.sum(rays.y)
                     + jnp.sum(rays.opd) + jnp.sum(rays.intensity))
         return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
 
     dt_s, t_call = _time_k_diff(step, 1, 17, params, Px, Py)
     n_surf = model.num_surfaces - 1  # object surface is a no-op
-    ray_surfaces_per_s = n_rays * n_wl * n_surf / dt_s
+    ray_surfaces_per_s = n_rays * n_wl * n_f * n_surf / dt_s
     return {
         "metric": f"ray_surfaces_per_s_per_chip_{name}",
         "value": float(ray_surfaces_per_s),
         "unit": "ray-surfaces/s",
         "vs_baseline": float(ray_surfaces_per_s
                              / REFERENCE_RAY_SURFACES_PER_S),
-        "rays_per_s": float(n_rays * n_wl / dt_s),
-        "n_rays": n_rays, "n_wavelengths": n_wl, "n_surfaces": n_surf,
+        "rays_per_s": float(n_rays * n_wl * n_f / dt_s),
+        "n_rays": n_rays, "n_wavelengths": n_wl, "n_fields": n_f,
+        "n_surfaces": n_surf,
         "engine": "pallas" if use_pallas else "xla",
         "polarized": polarized,
         "protocol": "sync fori K-diff 1->17",
@@ -472,6 +491,12 @@ def suite():
          N_RAYS, "auto"),   # in-kernel Jones chain; 4M like every entry
         ("cooke_triplet_xla", CookeTriplet, 0.55, N_RAYS, "xla"),
     ]
+    # vector-field launch: the kernel's field grid axis traces a whole
+    # 3-field x 3-wl analysis grid in ONE launch (VERDICT r4 item 2)
+    field_entries = [
+        ("double_gauss_3f_3wl_grid", DoubleGauss, FRAUNHOFER, 1_000_000,
+         "auto", [(0.0, 0.0), (0.0, 0.7), (0.0, 1.0)]),
+    ]
     results = []
     headline = None
 
@@ -502,6 +527,12 @@ def suite():
         flush_suite()   # partial results survive a driver timeout
         if name == "cooke_triplet":
             headline = res
+    for name, build, wl, n, engine, flds in field_entries:
+        res = normalize(bench_system(name, build, wl, n_rays=n,
+                                     engine=engine, fields=flds))
+        print(json.dumps(res), flush=True)
+        results.append(res)
+        flush_suite()
 
     import jax
     grad_engine = "auto" if jax.devices()[0].platform != "cpu" else "xla"
