@@ -266,11 +266,13 @@ def _time_k_diff(step, k_lo, k_hi, *args, rounds=5):
 
 
 def bench_system(name, build, wavelength, n_rays=N_RAYS, engine="auto",
-                 fields=None):
+                 fields=None, apodization=None):
     """One forward benchmark entry: fused Pallas gen+trace+image-prop when
     supported (and a TPU is present), else the XLA pipeline. ``fields``:
     a list of (Hx, Hy) makes the entry a vector-field launch — the kernel's
-    field grid axis traces the whole F x W grid in one launch."""
+    field grid axis traces the whole F x W grid in one launch.
+    ``apodization``: a closed-form pupil apodization evaluated in-kernel
+    (XLA comparison path applies the same weight on the final intensity)."""
     import jax
     import jax.numpy as jnp
     from optiland_pr_tpu.kernels import (pallas_gen_trace_conic,
@@ -312,7 +314,8 @@ def bench_system(name, build, wavelength, n_rays=N_RAYS, engine="auto",
             if use_pallas:
                 rays = pallas_gen_trace_conic(model, params, Px * s, Py, wl,
                                               Hx=Hx, Hy=Hy,
-                                              flags=flags, final_prop=True)
+                                              flags=flags, final_prop=True,
+                                              apodization=apodization)
             else:
                 def one_fw(f_and_w):
                     hx, hy, w = f_and_w
@@ -328,6 +331,10 @@ def bench_system(name, build, wavelength, n_rays=N_RAYS, engine="auto",
                             jnp.repeat(hyb, wls_b.shape[0]),
                             jnp.tile(wls_b, hxb.shape[0]))
                     rays = jax.vmap(one_fw)(grid)
+                if apodization is not None:
+                    rays = rays.replace(intensity=rays.intensity
+                                        * apodization.get_intensity(Px * s,
+                                                                    Py))
             return (acc + jnp.sum(rays.x) + jnp.sum(rays.y)
                     + jnp.sum(rays.opd) + jnp.sum(rays.intensity))
         return jax.lax.fori_loop(0, K, body, jnp.float32(0.0))
@@ -497,6 +504,16 @@ def suite():
         ("double_gauss_3f_3wl_grid", DoubleGauss, FRAUNHOFER, 1_000_000,
          "auto", [(0.0, 0.0), (0.0, 0.7), (0.0, 1.0)]),
     ]
+    # round-5 launch modes in-kernel (VERDICT r4 item 5): object-space
+    # telecentric aiming, and closed-form apodization on launch intensity
+    from optiland_pr_tpu.samples import UVProjectionLens
+    from optiland_pr_tpu.system.apodization import GaussianApodization
+    special_entries = [
+        ("uv_projection_telecentric", UVProjectionLens, 0.248, N_RAYS,
+         "auto", None, None),
+        ("cooke_gaussian_apodized", CookeTriplet, 0.55, N_RAYS,
+         "auto", None, GaussianApodization(sigma=0.7)),
+    ]
     results = []
     headline = None
 
@@ -530,6 +547,13 @@ def suite():
     for name, build, wl, n, engine, flds in field_entries:
         res = normalize(bench_system(name, build, wl, n_rays=n,
                                      engine=engine, fields=flds))
+        print(json.dumps(res), flush=True)
+        results.append(res)
+        flush_suite()
+    for name, build, wl, n, engine, flds, apod in special_entries:
+        res = normalize(bench_system(name, build, wl, n_rays=n,
+                                     engine=engine, fields=flds,
+                                     apodization=apod))
         print(json.dumps(res), flush=True)
         results.append(res)
         flush_suite()

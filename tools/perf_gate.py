@@ -38,6 +38,8 @@ FLOORS = {
     "ray_surfaces_per_s_per_chip_double_gauss_polarized": 9.0e9,
     "ray_surfaces_per_s_per_chip_cooke_triplet_xla": 6.3e9,
     "ray_surfaces_per_s_per_chip_double_gauss_3f_3wl_grid": 2.0e10,
+    "ray_surfaces_per_s_per_chip_uv_projection_telecentric": 1.8e10,
+    "ray_surfaces_per_s_per_chip_cooke_gaussian_apodized": 1.6e10,
     "grad_rays_per_s_cooke_pallas": 5.6e8,
     "grad_rays_per_s_double_gauss_pallas": 4.2e8,
     "grad_rays_per_s_double_gauss_polarized": 2.2e8,
