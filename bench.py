@@ -278,7 +278,6 @@ def bench_system(name, build, wavelength, n_rays=N_RAYS, engine="auto",
     from optiland_pr_tpu.kernels import (pallas_gen_trace_conic,
                                          supports_model, model_flags)
     from optiland_pr_tpu.trace import real as real_trace
-    from optiland_pr_tpu.trace.raygen import generate_rays
 
     lens = build()
     model, params = lens.build()
@@ -295,7 +294,6 @@ def bench_system(name, build, wavelength, n_rays=N_RAYS, engine="auto",
         Hy = jnp.asarray([f[1] for f in fields], dt)
         n_f = len(fields)
     Px, Py = _pupil(n_rays, dt)
-    zeros = jnp.zeros_like(Px)
 
     from optiland_pr_tpu.kernels import gen_eligible
     on_tpu = jax.devices()[0].platform != "cpu"

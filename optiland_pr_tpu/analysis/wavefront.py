@@ -13,7 +13,6 @@ import jax
 import jax.numpy as jnp
 
 from ..core.distributions import generate_distribution
-from ..core.safe_math import safe_div
 from ..core.zernike import ZernikeFit
 from ..system.model import OpticModel, positions_from_params, field_coords
 from ..trace import real as real_trace
@@ -308,24 +307,37 @@ def wavefront_grid(model: OpticModel, params, fields, wavelengths, Px, Py,
     (VERDICT r4 item 2, wavefront half): every leaf of the returned
     WavefrontData carries leading axes [F, W].
 
-    Two regimes:
+    Three regimes:
     - split-OPD-eligible on an accelerator: the per-pair kernel path is
       already a single fused launch (chief ray rides as sample 0) and a
       pallas_call cannot be vmapped, so pairs loop and stack;
-    - everywhere else (CPU, tilted systems, centroid/best-fit strategies):
-      one jitted vmap over the flattened (F*W) pairs — the XLA engine
-      batches the small per-pair bundles into one program instead of
-      F*W eager dispatches.
+    - kernel-eligible big bundles on an accelerator (aspheres, freeforms,
+      gratings at >= the engine's pallas threshold): pairs loop with
+      engine "auto" so each pupil trace stays a fused kernel launch —
+      forcing a vmapped XLA grid here would be a ~5-10x regression;
+    - everywhere else (CPU, tilted systems, small bundles): one jitted
+      vmap over the flattened (F*W) pairs — the XLA engine batches the
+      small per-pair bundles into one program instead of F*W eager
+      dispatches.
     """
+    from ..trace.engine import resolve_engine
+
     F = len(fields)
     W = len(wavelengths)
-    if strategy == "chief_ray" and _split_wavefront_eligible(model):
+
+    def _loop_stack(engine):
         data = [wavefront_data(model, params, f, wl, Px, Py,
-                               strategy=strategy)
+                               strategy=strategy, engine=engine)
                 for f in fields for wl in wavelengths]
         return jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs).reshape((F, W) + jnp.shape(xs[0])),
             *data)
+
+    if strategy == "chief_ray" and _split_wavefront_eligible(model):
+        return _loop_stack("auto")
+    if resolve_engine(model, 0.0, 0.0, None,
+                      int(jnp.shape(jnp.asarray(Px))[-1])) == "pallas":
+        return _loop_stack("auto")
 
     hh = jnp.asarray([[f[0], f[1]] for f in fields], jnp.result_type(Px))
     ww = jnp.asarray(wavelengths, jnp.result_type(Px))

@@ -24,8 +24,17 @@ import pytest  # noqa: E402
 
 @pytest.fixture(scope="session")
 def ref_optiland():
-    """Import the reference Optiland (numpy backend) for golden comparison."""
+    """Import the reference Optiland (numpy backend) for golden comparison.
+
+    The reference is mounted at /root/reference in the development sandbox;
+    on CI runners (or any checkout without it) the parity suites SKIP
+    instead of erroring — they verify equivalence to the upstream
+    implementation, which requires having it."""
     import tools.ref_shim  # noqa: F401
+    from tools.ref_shim import REFERENCE_ROOT
+    if not Path(REFERENCE_ROOT).exists():
+        pytest.skip("reference Optiland not mounted (parity suites need "
+                    f"{REFERENCE_ROOT})", allow_module_level=False)
     import optiland.backend as be
     be.set_backend("numpy")
     import optiland

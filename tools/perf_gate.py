@@ -43,7 +43,7 @@ FLOORS = {
     "grad_rays_per_s_cooke_pallas": 5.6e8,
     "grad_rays_per_s_double_gauss_pallas": 4.2e8,
     "grad_rays_per_s_double_gauss_polarized": 2.2e8,
-    "grad_rays_per_s_cooke_xla": 1.5e8,
+    "grad_rays_per_s_cooke_xla": 1.1e8,
 }
 
 

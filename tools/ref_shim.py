@@ -43,7 +43,9 @@ def _stub_vtk():
     sys.modules.setdefault("vtk", vtk)
 
 
+REFERENCE_ROOT = "/root/reference"
+
 _stub_numba()
 _stub_vtk()
-if "/root/reference" not in sys.path:
-    sys.path.insert(0, "/root/reference")
+if REFERENCE_ROOT not in sys.path:
+    sys.path.insert(0, REFERENCE_ROOT)
