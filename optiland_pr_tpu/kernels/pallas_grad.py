@@ -231,15 +231,17 @@ def _pallas_gen_bwd_2d(gen, consts, acoef, Px, Py, dx, dy, dz, dl, dm, dn,
                                final_prop=final_prop, kahan=kahan,
                                polar_state=polar_state, split=split,
                                telecentric=telecentric, apod=apod)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[gen_spec, const_spec, acoef_spec, ray_in_spec, ray_in_spec]
-        + [cot_spec] * 8,
-        out_specs=out_specs,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(gen, consts, acoef, Px, Py, dx, dy, dz, dl, dm, dn, di, do)
+    from .pallas_trace import _mosaic_trace
+    with _mosaic_trace(interpret):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[gen_spec, const_spec, acoef_spec, ray_in_spec,
+                      ray_in_spec] + [cot_spec] * 8,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(gen, consts, acoef, Px, Py, dx, dy, dz, dl, dm, dn, di, do)
 
 
 @functools.lru_cache(maxsize=128)

@@ -41,10 +41,13 @@ wavelengths); the kernel receives it whole in VMEM and reads scalars per
   8..16 rotation row-major r00..r22   17 tx  18 ty  19 tz
   20 ap_rmin2  21 ap_rmax2  22 ap_ox  23 ap_oy
   24/25 per-kind geometry extras (cheb norm_x/norm_y, biconic x-curvature/
-  x-conic, toroidal rotation radius)                     (rest padding)
+  x-conic, toroidal rotation radius)
+  27 signed vertex gap (split modes)  28 radius_inv low word (coord_split
+  two-float curvature)                                   (rest padding)
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -183,6 +186,19 @@ def _pack_rows(model: OpticModel, params, wavelength) -> jnp.ndarray:
         conic = sp["geom"].get("conic", jnp.asarray(0.0))
         is_plane = jnp.isinf(radius)
         radius_inv = jnp.where(is_plane, 0.0, 1.0 / radius)
+        # col 28: low word of 1/R against the f32-rounded hi word. The f32
+        # rounding of radius_inv ALONE (rel ~3e-8) shifts a conic's focal
+        # length by ~ulp(focal); at meter scale the near-focus V-shaped
+        # spot merit amplifies that evaluation-point shift into a coherent
+        # ~0.7x gradient attenuation on every focus-coupled leaf (round-5
+        # bisection, BENCHMARKS.md). The deviation-transport chain consumes
+        # (hi, lo) as a two-float pair. The residual is symbolically zero,
+        # so AD contributes nothing here and d/d(radius) rides the hi word.
+        rih = radius_inv.astype(jnp.float32).astype(radius_inv.dtype)
+        rsafe = jnp.where(is_plane, 1.0, radius)
+        p_ri, pe_ri = _two_prod(rih, rsafe)
+        radius_inv_lo = jnp.where(is_plane, 0.0,
+                                  ((1.0 - p_ri) - pe_ri) / rsafe)
 
         pre = model.surfaces[k - 1]
         mat1 = model.surfaces[pre.material_src].material
@@ -281,7 +297,9 @@ def _pack_rows(model: OpticModel, params, wavelength) -> jnp.ndarray:
         dz_gap = jnp.reshape(pos[k] - pos[k - 1], ())
         dz_gap = jnp.where(jnp.isfinite(dz_gap), dz_gap, 0.0)
         row = jnp.concatenate([head, Rm, tvec, apr, jnp.zeros(1),
-                               dz_gap[None], jnp.zeros(_CONST_W - 28)])
+                               dz_gap[None],
+                               jnp.reshape(radius_inv_lo, (1,)),
+                               jnp.zeros(_CONST_W - 29)])
         rows.append(row)
     return jnp.stack(rows).astype(jnp.float32)
 
@@ -908,9 +926,9 @@ def _freeform_sag_grad(gkind: str, nu: int, nv: int, c, acoef, xx, yy,
         inside = dz * dz - xx * xx
         ok = inside > _EPS
         root = jnp.sqrt(jnp.where(ok, inside, _EPS))
-        sgn = jnp.where(dz >= 0, 1.0, -1.0)
+        sgn = _sign_pm(dz >= 0, dz)
         s = R - sgn * root
-        sgnR = jnp.where(R >= 0, 1.0, -1.0)
+        sgnR = _sign_pm(R >= 0, R)
         inv_root = 1.0 / root
         gx = jnp.where(ok, sgnR * xx * inv_root, 0.0)
         gyt = jnp.where(ok, sgnR * dz * dzy * inv_root, 0.0)
@@ -942,21 +960,66 @@ def _delta_rsqrt(d_arg, inv_c, inv_f):
 # (err = (a - (s - bv)) + (b - bv) with s = a + b), so its derivative is
 # exactly zero and gradients flow through the hi chain only.
 
+def _sign_pm(pred, ref):
+    """+-1 in ``ref``'s dtype. A literal ``jnp.where(pred, 1.0, -1.0)``
+    promotes to f64 under x64 (CPU test runs) and drags downstream tf
+    arithmetic with it — the kernel must compute in f32 on CPU exactly as
+    it does on TPU, or the test suite measures a different machine."""
+    one = jnp.ones_like(ref)
+    return jnp.where(pred, one, -one)
+
+
+# ---- error-free transforms (EFT) vs the XLA algebraic simplifier -----------
+# Jitted XLA (CPU test runs, and every TPU path that is NOT a compiled
+# Mosaic kernel: packing, the chief-ray reference chain) applies
+# real-arithmetic rewrites across fused graphs — e.g. x - (x - a) -> a,
+# (s + e) - s -> e — that are exact over the reals but delete the lo-word
+# corrections these transforms exist to capture. Measured (round 5): the
+# jitted launch+mirror chain loses pe-level terms and lands 2e-5 mm off the
+# eager result at Hubble scale, vs 2.4e-10 eager. `lax.optimization_barrier`
+# on each EFT pivot blocks the pattern match (identity at runtime).
+# Compiled Mosaic kernels run no XLA simplifier AND have no lowering rule
+# for the barrier, so kernel tracing flips `_EFT_OPAQUE` off (see
+# `_mosaic_trace`); interpret-mode kernels execute under XLA and keep it on.
+_EFT_OPAQUE = [True]
+
+
+def _ob(x):
+    """Simplifier shield for an EFT pivot value (see note above)."""
+    if _EFT_OPAQUE[0]:
+        return jax.lax.optimization_barrier(x)
+    return x
+
+
+@contextlib.contextmanager
+def _mosaic_trace(interpret: bool):
+    """Trace a pallas kernel body: barriers stay on under interpret (XLA
+    executes the body) and turn off for compiled Mosaic (no simplifier, no
+    barrier lowering rule)."""
+    prev = _EFT_OPAQUE[0]
+    _EFT_OPAQUE[0] = bool(interpret)
+    try:
+        yield
+    finally:
+        _EFT_OPAQUE[0] = prev
+
+
 def _two_sum(a, b):
-    s = a + b
-    bv = s - a
+    s = _ob(a + b)
+    bv = _ob(s - a)
     err = (a - (s - bv)) + (b - bv)
     return s, err
 
 
 def _split12(a):
     c = a * 4097.0        # 2^12 + 1 splits the 24-bit f32 significand
-    hi = c - (c - a)
+    d = _ob(c - a)
+    hi = c - d
     return hi, a - hi
 
 
 def _two_prod(a, b):
-    p = a * b
+    p = _ob(a * b)
     ah, al = _split12(a)
     bh, bl = _split12(b)
     err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
@@ -967,7 +1030,7 @@ def _tf_add(x, y):
     """Two-float + two-float (Dekker add22, ~7 flops); tf = (hi, lo)."""
     s, e = _two_sum(x[0], y[0])
     e = e + (x[1] + y[1])
-    hi = s + e
+    hi = _ob(s + e)
     lo = e - (hi - s)
     return hi, lo
 
@@ -998,7 +1061,7 @@ def _tf_mul(x, y):
     """tf x tf -> tf (mul22; drops the l*l term)."""
     p, pe = _two_prod(x[0], y[0])
     pe = pe + (x[0] * y[1] + x[1] * y[0])
-    hi = p + pe
+    hi = _ob(p + pe)
     lo = pe - (hi - p)
     return hi, lo
 
@@ -1060,6 +1123,12 @@ def _df32_chain(c, x, y, z, L, M, N, opd, *, is_plane: bool, is_refl: bool):
     the chief-free validity test). Returns (x, y, z, L, M, N, opd, ok)."""
     one = jnp.ones_like(x[0])
     radius_inv, conic, n1, n2 = c[0], c[1], c[3], c[4]
+    # two-float reciprocal radius (hi = c[0], lo = c[28]): the f32 rounding
+    # of 1/R alone moves a conic's focus by ~ulp(focal), which at meter
+    # scale coherently attenuates every focus-coupled merit gradient ~0.7x
+    # (round-5 bisection) — the pair restores the evaluation point to ~47
+    # bits; its lo word is AD-inert so gradients ride the hi word.
+    ci_tf = (radius_inv, c[28])
     # shift into this surface's local frame (split convention: z arrives
     # local to the previous vertex)
     z = _tf_add(z, (-c[27] * one, jnp.zeros_like(one)))
@@ -1068,20 +1137,19 @@ def _df32_chain(c, x, y, z, L, M, N, opd, *, is_plane: bool, is_refl: bool):
         t = _tf_div(_tf_neg(z), N)
         ok = jnp.ones_like(x[0], bool)
     else:
-        ci = radius_inv
         t0 = _tf_div(_tf_neg(z), N)
         x0 = _tf_add(x, _tf_mul(t0, L))
         y0 = _tf_add(y, _tf_mul(t0, M))
         n2_sq = _tf_mul(N, N)
-        a = _tf_scale(_tf_add(_tf_scale(n2_sq, conic),
-                              (one, jnp.zeros_like(one))), ci)
-        bh = _tf_add(_tf_scale(_tf_add(_tf_mul(L, x0), _tf_mul(M, y0)), ci),
+        a = _tf_mul(_tf_add(_tf_scale(n2_sq, conic),
+                            (one, jnp.zeros_like(one))), ci_tf)
+        bh = _tf_add(_tf_mul(_tf_add(_tf_mul(L, x0), _tf_mul(M, y0)), ci_tf),
                      _tf_neg(N))
-        cc = _tf_scale(_tf_add(_tf_mul(x0, x0), _tf_mul(y0, y0)), ci)
+        cc = _tf_mul(_tf_add(_tf_mul(x0, x0), _tf_mul(y0, y0)), ci_tf)
         disc = _tf_add(_tf_mul(bh, bh), _tf_neg(_tf_mul(a, cc)))
         ok = disc[0] >= 0
         sq = _tf_sqrt(disc)
-        sgn = jnp.where(bh[0] >= 0, 1.0, -1.0)
+        sgn = _sign_pm(bh[0] >= 0, bh[0])
         q = _tf_neg(_tf_add(bh, _tf_scale(sq, sgn)))
         q_safe = (jnp.where(jnp.abs(q[0]) > _EPS, q[0],
                             jnp.where(q[0] >= 0, _EPS, -_EPS)), q[1])
@@ -1112,18 +1180,18 @@ def _df32_chain(c, x, y, z, L, M, N, opd, *, is_plane: bool, is_refl: bool):
                                                _tf_neg(nsq)), -u * u))
             ok = ok & (disc_r[0] >= 0)
             root = _tf_sqrt(disc_r)
-            sN = jnp.where(N[0] >= 0, 1.0, -1.0)
+            sN = _sign_pm(N[0] >= 0, N[0])
             L2 = _tf_scale(L, u)
             M2 = _tf_scale(M, u)
             N2 = _tf_scale(root, sN)
     else:
-        ci = radius_inv
         r2 = _tf_add(_tf_mul(x, x), _tf_mul(y, y))
+        ci2 = _tf_mul(ci_tf, ci_tf)
         arg = _tf_add((one, jnp.zeros_like(one)),
-                      _tf_scale(r2, -(1.0 + conic) * ci * ci))
+                      _tf_scale(_tf_mul(r2, ci2), -(1.0 + conic)))
         ir = _tf_rsqrt(arg)
-        dfdx = _tf_scale(_tf_mul(x, ir), ci)
-        dfdy = _tf_scale(_tf_mul(y, ir), ci)
+        dfdx = _tf_mul(_tf_mul(x, ir), ci_tf)
+        dfdy = _tf_mul(_tf_mul(y, ir), ci_tf)
         g2 = _tf_add(_tf_add(_tf_mul(dfdx, dfdx), _tf_mul(dfdy, dfdy)),
                      (one, jnp.zeros_like(one)))
         im = _tf_rsqrt(g2)
@@ -1145,7 +1213,7 @@ def _df32_chain(c, x, y, z, L, M, N, opd, *, is_plane: bool, is_refl: bool):
                                                _tf_neg(dsq)), -u * u))
             ok = ok & (disc_r[0] >= 0)
             root = _tf_sqrt(disc_r)
-            sgn_d = jnp.where(dot[0] >= 0, 1.0, -1.0)
+            sgn_d = _sign_pm(dot[0] >= 0, dot[0])
             w = _tf_add(_tf_scale(root, sgn_d), _tf_scale(dot, -u))
             L2 = _tf_add(_tf_scale(L, u), _tf_mul(nx, w))
             M2 = _tf_add(_tf_scale(M, u), _tf_mul(ny, w))
@@ -1288,7 +1356,7 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None,
         ok = disc >= 0
         sq = jnp.sqrt(jnp.where(ok, disc, 1.0))
         # sign(0) := 1 (jnp.sign(0)=0 would zero q)
-        q = -(bh + jnp.where(bh >= 0, 1.0, -1.0) * sq)
+        q = -(bh + _sign_pm(bh >= 0, bh) * sq)
         t_far = q / jnp.where(jnp.abs(a) > _EPS,
                               a, jnp.where(a >= 0, _EPS, -_EPS))
         t_near = cc / jnp.where(jnp.abs(q) > _EPS,
@@ -1458,7 +1526,7 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None,
         g = c[24] * jnp.sqrt(fxv * fxv + fyv * fyv)
         # align the normal along the ray (core/rays.py align_normal)
         dtn = L * nx + M * ny + N * nz
-        sgn = jnp.where(dtn >= 0, 1.0, -1.0)
+        sgn = _sign_pm(dtn >= 0, dtn)
         nxa, nya, nza = nx * sgn, ny * sgn, nz * sgn
         kx, ky, kz = n1 * L, n1 * M, n1 * N
         kdn = kx * nxa + ky * nya + kz * nza
@@ -1532,7 +1600,7 @@ def _surface_step(c, x, y, z, L, M, N, inten, opd, valid=None, opd_c=None,
         evan = Rsq < 0
         # evanescent orders are intensity-clipped, not invalidated
         # (trace/real.py:193 R.clip semantics)
-        inten = inten * jnp.where(evan, 0.0, 1.0)
+        inten = inten * jnp.logical_not(evan).astype(inten.dtype)
         # double-where: sqrt'(0)=inf would poison grads at the clamp
         alpha_p = jnp.sqrt(jnp.where(evan, 1.0, jnp.maximum(Rsq, 0.0)))
         alpha_p = jnp.where(evan, 0.0, alpha_p)
@@ -1803,14 +1871,15 @@ def _pallas_call_2d(consts, acoef, x, y, z, L, M, N, inten, opd,
                               memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct(x.shape, x.dtype)] * 8
     kernel = functools.partial(_kernel, flags=flags)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[const_spec, acoef_spec] + [ray_spec] * 8,
-        out_specs=[ray_spec] * 8,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(consts, acoef, x, y, z, L, M, N, inten, opd)
+    with _mosaic_trace(interpret):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[const_spec, acoef_spec] + [ray_spec] * 8,
+            out_specs=[ray_spec] * 8,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(consts, acoef, x, y, z, L, M, N, inten, opd)
 
 
 def _polar_layout(polar_state):
@@ -2140,14 +2209,16 @@ def _pallas_gen_trace_2d(gen, consts, acoef, Px, Py, flags: tuple,
                                final_prop=final_prop, kahan=kahan,
                                polar_state=polar_state, split=split,
                                telecentric=telecentric, apod=apod)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[gen_spec, const_spec, acoef_spec, ray_in_spec, ray_in_spec],
-        out_specs=[ray_out_spec] * 8,
-        out_shape=out_shape,
-        interpret=interpret,
-    )(gen, consts, acoef, Px, Py)
+    with _mosaic_trace(interpret):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[gen_spec, const_spec, acoef_spec, ray_in_spec,
+                      ray_in_spec],
+            out_specs=[ray_out_spec] * 8,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(gen, consts, acoef, Px, Py)
 
 
 def pallas_gen_trace_conic(model: OpticModel, params, Px, Py, wavelength,
