@@ -1012,18 +1012,55 @@ def _two_sum(a, b):
 
 
 def _split12(a):
-    c = a * 4097.0        # 2^12 + 1 splits the 24-bit f32 significand
-    d = _ob(c - a)
-    hi = c - d
+    """Veltkamp split by mantissa masking: hi keeps the top half of the
+    significand (12 bits f32 / 27 bits f64), lo = a - hi is exact
+    (Sterbenz), and every cross product hi*hi', hi*lo', lo*lo' is exactly
+    representable. The classic multiply form ``c = a*4097; hi = c-(c-a)``
+    is NOT safe under jit: LLVM (XLA:CPU backend) contracts `a*4097 - x`
+    into an FMA, which computes the product exactly and deletes the
+    rounding error the split depends on — measured round 5 as every lo
+    word downstream silently zeroed (5.9e-8 rel on tf_mul, plain-f32
+    noise at Hubble scale). FMA contraction happens at codegen, AFTER
+    optimization_barriers are expanded, so no barrier placement can guard
+    it; the bitmask form has no multiply to contract."""
+    a = jnp.asarray(a)
+    if a.dtype == jnp.float64:
+        # uneven 26/27 split: ah*bh (52b), ah*bl / al*bh (53b) stay exact;
+        # only al*bl rounds, at 2^-106 relative — far below the pair's use
+        bits = jax.lax.bitcast_convert_type(a, jnp.int64)
+        hi = jax.lax.bitcast_convert_type(
+            jnp.bitwise_and(bits, jnp.int64(-1 << 27)), jnp.float64)
+    else:
+        bits = jax.lax.bitcast_convert_type(a, jnp.int32)
+        hi = jax.lax.bitcast_convert_type(
+            jnp.bitwise_and(bits, jnp.int32(-1 << 12)), jnp.float32)
     return hi, a - hi
 
 
 def _two_prod(a, b):
-    p = _ob(a * b)
+    """Error-free product from exact partial products (Dekker mul12,
+    restructured): ah*bh, ah*bl, al*bh, al*bl are each exactly
+    representable, so the only rounding happens in ADDS, and the error
+    extraction rides _two_sum (adds/subs only). The textbook form
+    ``err = (ah*bh - p) + ...`` with p = round(a*b) is FMA-contraction
+    bait: `mul - p` contracted to an FMA computes a*b exactly and the
+    extracted rounding error collapses to zero (see _split12). Returns a
+    tf pair whose hi may differ from round(a*b) by 1 ulp — callers treat
+    it as an opaque (hi, lo) value, never as the plain product."""
+    # python-scalar operands (e.g. _tf_scale(x, 2.0)) must not drag the
+    # bitcast split to f64 under x64: resolve via jax weak-type promotion
+    dt = jnp.result_type(a, b)
+    a = jnp.asarray(a, dt)
+    b = jnp.asarray(b, dt)
     ah, al = _split12(a)
     bh, bl = _split12(b)
-    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
-    return p, err
+    u = ah * bh
+    s1, e1 = _two_sum(ah * bl, al * bh)   # same-scale pair: exact
+    p, e2 = _two_sum(u, s1)               # exact
+    lo = (e1 + e2) + al * bl              # rounds at 2^-48 relative
+    hi = _ob(p + lo)
+    err = lo - (hi - p)
+    return hi, err
 
 
 def _tf_add(x, y):
